@@ -1,0 +1,106 @@
+package graft.canon
+
+import graft.conf.ZenoConf
+import scala.util.matching.Regex
+
+/** Include/exclude filter engine (preprocessor stage F4/F5).
+  *
+  * Reference semantics:
+  *  - include: host contains any include-host substring OR url contains any
+  *    include-string, else dropped
+  *    (/root/reference/internal/pkg/preprocessor/preprocessor.go:194-211)
+  *  - exclude: host-substring OR url-substring OR regex match
+  *    (/root/reference/internal/pkg/preprocessor/preprocessor.go:213-229,
+  *     exclusion.go:9-17); archive.org/archive-it.org always excluded
+  *    (/root/reference/internal/pkg/config/config.go:329).
+  *
+  * The filter is built once on the driver and broadcast; `test` is a pure
+  * function usable inside a UDF.
+  */
+final class Filters(conf: ZenoConf) extends Serializable {
+  private val includeHosts = conf.includeHosts.toArray
+  private val includeStrings = conf.includeStrings.toArray
+  private val excludeHosts = (conf.excludeHosts ++ conf.defaultExcludedHosts).toArray
+  private val excludeStrings = conf.excludeStrings.toArray
+  private val regexes: Array[Regex] = conf.exclusionRegexes.map(_.r).toArray
+
+  private def containsAny(s: String, subs: Array[String]): Boolean = {
+    var i = 0
+    while (i < subs.length) {
+      if (s.contains(subs(i))) return true
+      i += 1
+    }
+    false
+  }
+
+  /** true = keep; false = excluded. Applied to the canonical href + host. */
+  def test(href: String, host: String): Boolean = {
+    if (includeHosts.nonEmpty || includeStrings.nonEmpty) {
+      if (!containsAny(host, includeHosts) && !containsAny(href, includeStrings))
+        return false
+    }
+    if (containsAny(host, excludeHosts)) return false
+    if (containsAny(href, excludeStrings)) return false
+    var i = 0
+    while (i < regexes.length) {
+      if (regexes(i).findFirstIn(href).isDefined) return false
+      i += 1
+    }
+    true
+  }
+}
+
+/** Domains-crawl matcher (J6): outlinks matching the configured domain
+  * patterns have their hop count reset to 0 (treated as in-scope seeds).
+  *
+  * Pattern kinds, mirroring
+  * /root/reference/internal/pkg/postprocessor/domainscrawl/domainscrawl.go:137-171:
+  *  - naive domain ("example.com")  → exact host or subdomain match
+  *    (the reference's reversed-host adaptive radix tree,
+  *     reversehost.go:11-55 + tree.go:31-80, is a prefix lookup over
+  *     `com.example.` — here a sorted-array prefix probe over SURT hosts)
+  *  - full URL ("https://a.com/x")  → exact canonical URL match
+  *  - regex ("...*...")             → regex over the full URL
+  */
+final class DomainsMatcher(patterns: Seq[String]) extends Serializable {
+  private val isRegexLike: String => Boolean =
+    p => p.exists(c => "\\^$*+?()[]{}|".contains(c))
+
+  private val (regexPats, rest0) = patterns.partition(isRegexLike)
+  private val (urlPats, domainPats) = rest0.partition(p => p.contains("://"))
+
+  private val exactHosts: Set[String] = domainPats.map(_.toLowerCase).toSet
+  // SURT prefixes: matching any subdomain of d ⇔ reversed host starts with
+  // reverse(d) + "."
+  private val surtPrefixes: Array[String] =
+    domainPats.map(d => Canon.reverseHost(d.toLowerCase) + ".").sorted.toArray
+  private val exactUrls: Set[String] = urlPats.toSet
+  private val regexes: Array[Regex] = regexPats.map(_.r).toArray
+
+  def isEmpty: Boolean = patterns.isEmpty
+
+  def matches(href: String, host: String): Boolean = {
+    if (patterns.isEmpty) return false
+    val h = host.toLowerCase
+    if (exactHosts.contains(h)) return true
+    val surt = Canon.reverseHost(h) + "."
+    // binary-search the sorted prefix array for a prefix of `surt`
+    var lo = 0
+    var hi = surtPrefixes.length - 1
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      val p = surtPrefixes(mid)
+      if (surt.startsWith(p)) return true
+      if (surt < p) hi = mid - 1 else lo = mid + 1
+    }
+    // insertion-point neighbor may still be a prefix (shorter string sorts first)
+    if (hi >= 0 && surt.startsWith(surtPrefixes(hi))) return true
+    if (exactUrls.contains(href)) return true
+    var i = 0
+    while (i < regexes.length) {
+      if (regexes(i).findFirstIn(href).isDefined) return true
+      i += 1
+    }
+    false
+  }
+}

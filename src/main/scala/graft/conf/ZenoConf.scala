@@ -1,0 +1,46 @@
+package graft.conf
+
+/** Crawl configuration surface, mirroring the reference defaults.
+  *
+  * Reference: /root/reference/cmd/get.go:44-137 (flag defaults) and
+  * /root/reference/internal/pkg/config/config.go:302-406.
+  */
+final case class ZenoConf(
+    maxHops: Int = 0,
+    maxRedirect: Int = 20,
+    maxCSSJump: Int = 10,
+    maxRetry: Int = 5,
+    maxURLLength: Int = 4000,
+    maxSegmentRepetition: Int = 3,
+    maxSegmentRepetitionThreshold: Int = 2,
+    maxOutlinks: Int = 0, // 0 = unlimited
+    workers: Int = 1,
+    maxConcurrentAssets: Int = 1,
+    rateLimitCapacity: Double = 150.0,
+    rateLimitRefillRate: Double = 50.0,
+    includeHosts: Seq[String] = Nil,
+    includeStrings: Seq[String] = Nil,
+    excludeHosts: Seq[String] = Nil,
+    excludeStrings: Seq[String] = Nil,
+    exclusionRegexes: Seq[String] = Nil,
+    // reference always excludes its own infra:
+    // /root/reference/internal/pkg/config/config.go:329
+    defaultExcludedHosts: Seq[String] = Seq("archive.org", "archive-it.org"),
+    strictRegex: Boolean = false,
+    disableSeencheck: Boolean = false,
+    disableAssetsCapture: Boolean = false,
+    domainsCrawl: Seq[String] = Nil,
+    useSeencheck: Boolean = true,
+    minLinkLength: Int = 12,
+    // politeness discretization: budget per host per wave (W2) =
+    // refillRate * wavePeriodSeconds, capped at capacity
+    wavePeriodSeconds: Double = 1.0,
+    hostBuckets: Int = 64
+) {
+  def perHostWaveBudget: Int =
+    math.min(rateLimitCapacity, rateLimitRefillRate * wavePeriodSeconds).toInt.max(1)
+}
+
+object ZenoConf {
+  val default: ZenoConf = ZenoConf()
+}
