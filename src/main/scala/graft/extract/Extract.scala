@@ -1,0 +1,102 @@
+package graft.extract
+
+import graft.canon.Canon
+import graft.conf.ZenoConf
+
+/** One fetched page, as the extractors see it. In the Spark wave this is
+  * assembled from the pages-corpus join (body = decoded `html` column)
+  * plus the synthetic fetch_meta columns.
+  */
+final case class PageInput(
+    url: String, // canonical URL of the page
+    contentType: String, // e.g. "text/html"
+    server: String = "", // Server response header
+    linkHeader: String = "", // Link response header
+    body: String = ""
+)
+
+final case class ExtractResult(
+    outlinks: Seq[String],
+    assets: Seq[String],
+    atImports: Seq[String] // CSS @import chains — children with css_jump+1
+)
+
+/** Extractor dispatch — the reference's two extraction paths fused:
+  *
+  *  - outlink path (first-match: object-storage → sitemap → HTML → none,
+  *    plus Link header, plus aggressive text scan for text content types):
+  *    /root/reference/internal/pkg/postprocessor/outlinks.go:24-96
+  *  - asset path (first-match: M3U8 → JSON → XML → HTML → embedded CSS):
+  *    /root/reference/internal/pkg/postprocessor/assets.go:28-98
+  *  - sanitization (drop self/nil, protocol filter, hop assignment done by
+  *    the wave): assets.go:100-153
+  */
+object Extract {
+
+  def isHtml(ct: String): Boolean = ct != null && ct.contains("html")
+  def isJson(ct: String): Boolean = ct != null && ct.contains("json")
+  def isXml(ct: String): Boolean =
+    ct != null && ct.contains("xml") && !ct.contains("image/svg+xml")
+  def isCss(ct: String): Boolean = ct != null && ct.contains("text/css")
+  def isM3u8(ct: String): Boolean =
+    ct != null && (ct.contains("application/vnd.apple.mpegurl") || ct.toLowerCase.contains("application/x-mpegurl"))
+
+  def page(p: PageInput, conf: ZenoConf = ZenoConf.default): ExtractResult = {
+    val ct = if (p.contentType == null) "" else p.contentType
+    val isSitemap = isXml(ct) && Xml.isSitemap(p.body)
+
+    // lazily scan HTML once for both paths
+    lazy val tags = HtmlScanner.scan(p.body)
+
+    // --- outlink path ---
+    var outlinks = Vector.empty[String]
+    if (ObjectStorage.matches(p.server, ct)) {
+      outlinks ++= ObjectStorage.extract(p.url, p.server, p.body)
+    } else if (isSitemap) {
+      outlinks ++= Xml.extractSitemap(p.body)
+    } else if (isHtml(ct)) {
+      outlinks ++= Html.outlinks(tags, p.url, conf)
+    }
+    if (p.linkHeader != null && p.linkHeader.nonEmpty)
+      outlinks ++= LinkHeader.extract(p.linkHeader)
+    if (ct.contains("text/"))
+      outlinks ++= TextLinks.extract(p.body, conf.strictRegex)
+
+    // --- asset path ---
+    var assets = Vector.empty[String]
+    var atImports = Vector.empty[String]
+    if (!conf.disableAssetsCapture && !isSitemap && !ObjectStorage.matches(p.server, ct)) {
+      if (isM3u8(ct)) {
+        assets ++= M3u8.extract(p.body)
+      } else if (isJson(ct)) {
+        Json.extract(p.body, conf.strictRegex).foreach { case (a, o) =>
+          assets ++= a; outlinks ++= o
+        }
+      } else if (isXml(ct)) {
+        Xml.extract(p.body).foreach { case (a, o) => assets ++= a; outlinks ++= o }
+      } else if (isHtml(ct)) {
+        val (a, ai) = Html.assets(tags, p.url, conf)
+        assets ++= a
+        atImports ++= ai
+      } else if (isCss(ct)) {
+        val (links, ai) = Css.extract(p.body, inline = false)
+        assets ++= links
+        atImports ++= ai
+      }
+    }
+
+    // --- sanitize (assets.go:100-153 + protocol filter utils.go:9-30) ---
+    val cleanAssets = assets
+      .filter(a => a != null && a.nonEmpty && a != p.url)
+      .filterNot(Canon.hasBadProtocol)
+    var cleanOutlinks = outlinks
+      .filter(o => o != null && o.nonEmpty)
+      .filterNot(Canon.hasBadProtocol)
+    if (conf.maxOutlinks > 0 && cleanOutlinks.length > conf.maxOutlinks)
+      cleanOutlinks = cleanOutlinks.take(conf.maxOutlinks)
+    val cleanAtImports = atImports
+      .filter(_.nonEmpty)
+      .filterNot(Canon.hasBadProtocol)
+    ExtractResult(cleanOutlinks, cleanAssets, cleanAtImports)
+  }
+}
