@@ -1,0 +1,183 @@
+package graft.loop
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.conf.ZenoConf
+import graft.frontier.FrontierStore
+import graft.model.CounterRow
+import graft.spark.Udfs
+import graft.wave.Wave
+
+/** The crawl loop: iterative batch over waves (the reference's channel
+  * pipeline becomes a driver `while` over Dataset transforms — SURVEY.md
+  * §2.8; there are no event-time windows in the reference, so Structured
+  * Streaming would add machinery without semantics).
+  *
+  * Each wave: read latest snapshot → Wave.run → write parquet tables →
+  * atomic manifest commit. Crash/stop between commits loses nothing but
+  * the in-flight wave (Zeno's reset-on-shutdown, lq.go:75-93, for free).
+  * Auto-finish when the frontier is empty (lq/consumer.go:226-261).
+  */
+final class CrawlLoop(
+    spark: SparkSession,
+    conf: ZenoConf,
+    workDir: String,
+    corpusDir: String,
+    robots: Map[String, Seq[(String, Boolean)]]
+) {
+  import spark.implicits._
+
+  val store = new FrontierStore(workDir)
+  private val pages = spark.read.parquet(s"$corpusDir/pages")
+  private val fetchMeta = spark.read.parquet(s"$corpusDir/fetch_meta")
+
+  /** Seed insertion (S1/S2): canonicalize, filter, build frontier rows,
+    * commit snapshot v0. No-op if the store already has snapshots (resume).
+    */
+  def init(seeds: Seq[String]): Unit = {
+    if (store.latest.isDefined) return
+    val canonUdf = Udfs.canonicalizer(conf)
+    val filterUdf = Udfs.filterTest(conf)
+    val rows = seeds.toDF("url")
+      .withColumn("c", canonUdf($"url", lit(null).cast("string")))
+      .filter($"c.href".isNotNull)
+      .filter(filterUdf($"c.href", $"c.host"))
+      .select(
+        $"c.href".as("id"), $"url", $"c.href".as("url_canon"),
+        $"c.host".as("host"),
+        pmod(xxhash64($"c.host"), lit(conf.hostBuckets)).cast("int").as("host_bucket"),
+        $"c.href".as("seed_id"), lit("").as("via"), lit("seed").as("kind"),
+        lit(0).as("depth"), lit(0).as("hops"), lit(0).as("redirects"),
+        lit(0).as("css_jump"), lit(0L).as("ts"))
+      .dropDuplicates("url_canon")
+    val dir = store.newTableDir(0, "frontier")
+    val obs = new org.apache.spark.sql.Observation("seed-init")
+    rows.observe(obs, count(lit(1)).as("rows"))
+      .repartition(col("host_bucket")).write.mode("overwrite").parquet(dir)
+    store.commit(0, Seq(dir), Nil, Nil, Nil,
+      obs.get.getOrElse("rows", 0L).asInstanceOf[Long])
+  }
+
+  def frontier: DataFrame = {
+    val snap = store.latest.getOrElse(sys.error("store not initialized"))
+    store.readTable(spark, snap.frontier, FrontierStore.frontierDdl)
+  }
+  def seen: DataFrame = {
+    val snap = store.latest.getOrElse(sys.error("store not initialized"))
+    store.readTable(spark, snap.seen, FrontierStore.seenDdl)
+  }
+  def counters: DataFrame = {
+    val snap = store.latest.getOrElse(sys.error("store not initialized"))
+    store.readTable(spark, snap.counters, FrontierStore.countersDdl)
+  }
+  def hostState: DataFrame = {
+    val snap = store.latest.getOrElse(sys.error("store not initialized"))
+    store.readTable(spark, snap.hostState, FrontierStore.hostStateDdl)
+  }
+
+  /** Run one wave. Returns the wave's counters, or None if the frontier
+    * was empty (auto-finish, S8). Per-wave counters ride the log writes as
+    * Dataset.observe metrics (A3) — no extra aggregation jobs.
+    */
+  def step(): Option[CounterRow] = {
+    val snap = store.latest.getOrElse(sys.error("store not initialized"))
+    val wave = snap.wave + 1
+    if (snap.frontierRows == 0) return None
+    val frontierDf = store.readTable(spark, snap.frontier, FrontierStore.frontierDdl)
+    if (snap.frontierRows < 0 && frontierDf.isEmpty) return None
+    val seenDf = store.readTable(spark, snap.seen, FrontierStore.seenDdl)
+    val hostDf = store.readTable(spark, snap.hostState, FrontierStore.hostStateDdl)
+
+    val logs = Wave.run(spark, conf, wave, frontierDf, seenDf, hostDf,
+      pages, fetchMeta, robots)
+
+    val dirs = Map(
+      "claimed" -> store.newTableDir(wave, "claimed"),
+      "cands" -> store.newTableDir(wave, "cands"),
+      "frontier" -> store.newTableDir(wave, "frontier"),
+      "seen" -> store.newTableDir(wave, "seen"),
+      "host_state" -> store.newTableDir(wave, "host_state"),
+      "counters" -> store.newTableDir(wave, "counters"))
+
+    // phase-1 writes: lineage logs (extraction traverses ONCE — cached)
+    val obsClaimed = new org.apache.spark.sql.Observation(s"claimed-$wave")
+    logs.claimedLog.observe(obsClaimed,
+      count(lit(1)).as("claimed"),
+      sum(when($"disposition".isin("FETCHED", "REDIRECT"), 1L).otherwise(0L)).as("fetched"),
+      sum(when($"disposition" === "FAILED", 1L).otherwise(0L)).as("failed"),
+      sum(when($"disposition" === "SEEN", 1L).otherwise(0L)).as("seen"))
+      .write.mode("overwrite").parquet(dirs("claimed"))
+    val obsCands = new org.apache.spark.sql.Observation(s"cands-$wave")
+    logs.candidateLog.observe(obsCands,
+      sum(when($"cand_disposition" =!= "PASS", 1L).otherwise(0L)).as("excluded"),
+      sum(when($"cand_disposition" === "PASS", 1L).otherwise(0L)).as("passed"))
+      .write.mode("overwrite").parquet(dirs("cands"))
+    logs.cached.unpersist()
+
+    // phase-2: rebuild frontier/seen from the written logs
+    val claimedLog = spark.read.parquet(dirs("claimed"))
+    val candLog = spark.read.parquet(dirs("cands"))
+    val (newFrontier, seenAppend) =
+      Wave.finish(spark, conf, wave, frontierDf, seenDf, claimedLog, candLog)
+
+    val obsFrontier = new org.apache.spark.sql.Observation(s"frontier-$wave")
+    newFrontier.observe(obsFrontier,
+      count(lit(1)).as("rows"),
+      sum(when($"ts" === wave, 1L).otherwise(0L)).as("queued"))
+      .repartition(col("host_bucket"))
+      .write.mode("overwrite").parquet(dirs("frontier"))
+    seenAppend.write.mode("overwrite").parquet(dirs("seen"))
+    Wave.nextHostState(spark, conf, wave, hostDf, claimedLog)
+      .write.mode("overwrite").parquet(dirs("host_state"))
+
+    // seeds finished: claimed seeds with no remaining frontier rows
+    val newFrontierDf = spark.read.parquet(dirs("frontier"))
+    val finished = frontierDf.select($"seed_id").distinct()
+      .join(newFrontierDf.select($"seed_id").distinct(), Seq("seed_id"), "left_anti")
+      .count()
+
+    def m(o: org.apache.spark.sql.Observation, k: String): Long =
+      o.get.get(k).collect { case l: Long => l }.getOrElse(0L)
+    val claimed = m(obsClaimed, "claimed")
+    val queued = m(obsFrontier, "queued")
+    val counterRow = CounterRow(wave,
+      claimed = claimed,
+      fetched = m(obsClaimed, "fetched"),
+      failed = m(obsClaimed, "failed"),
+      // dedupe = seencheck hits at claim + candidates dropped by J1/J2/J3
+      deduped = m(obsClaimed, "seen") + (m(obsCands, "passed") - queued),
+      excluded = m(obsCands, "excluded"),
+      queued = queued,
+      seeds_finished = finished)
+
+    Seq(counterRow).toDS().write.mode("overwrite").parquet(dirs("counters"))
+
+    // seen compaction when fragmented
+    val seenPaths0 = snap.seen :+ dirs("seen")
+    val seenPaths =
+      if (seenPaths0.length > 16) {
+        val compacted = store.newTableDir(wave, "seen-compact")
+        store.readTable(spark, seenPaths0, FrontierStore.seenDdl)
+          .write.mode("overwrite").parquet(compacted)
+        Seq(compacted)
+      } else seenPaths0
+
+    store.commit(wave, Seq(dirs("frontier")), seenPaths,
+      Seq(dirs("host_state")), snap.counters :+ dirs("counters"),
+      m(obsFrontier, "rows"))
+    Some(counterRow)
+  }
+
+  /** Run until auto-finish or maxWaves. */
+  def run(maxWaves: Int): Seq[CounterRow] = {
+    val acc = scala.collection.mutable.ArrayBuffer.empty[CounterRow]
+    var continue = true
+    while (continue && acc.length < maxWaves) {
+      step() match {
+        case Some(c) => acc += c
+        case None => continue = false
+      }
+    }
+    acc.toSeq
+  }
+}

@@ -1,0 +1,109 @@
+package graft.spark
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.udf
+import graft.canon.{Canon, Filters, DomainsMatcher}
+import graft.conf.ZenoConf
+import graft.extract.{Extract, PageInput}
+
+/** Catalyst-friendly UDF surface. All functions are pure, null-safe and
+  * deterministic (asNondeterministic is never needed), so Catalyst can
+  * push filters around them and cache results.
+  *
+  * The canonicalizer/extractors themselves live in graft.canon /
+  * graft.extract with zero Spark deps — these wrappers only adapt them to
+  * Column-land.
+  */
+final case class CanonResult(href: String, host: String, reject: String)
+final case class ExtractedLink(link: String, kind: String)
+
+object Udfs {
+
+  /** fnv64a over the canonical URL — the seen-set key (must match Go
+    * hash/fnv: seencheck.go:76-89).
+    */
+  val fnv64 = udf((s: String) => if (s == null) 0L else Canon.fnv64a(s))
+
+  /** Full normalization F1+F2+F3: returns (href, host, reject) where
+    * exactly one of href/reject is set.
+    */
+  def canonicalizer(conf: ZenoConf) =
+    udf((raw: String, parent: String) =>
+      Canon.canonicalize(raw, Option(parent), conf) match {
+        case Right(c) => CanonResult(c.href, c.host, null)
+        case Left(r) => CanonResult(null, null, r.code)
+      })
+
+  /** Include/exclude filter (F4/F5): true = keep. */
+  def filterTest(conf: ZenoConf) = {
+    val filters = new Filters(conf)
+    udf((href: String, host: String) =>
+      href != null && filters.test(href, if (host == null) "" else host))
+  }
+
+  /** Domains-crawl match (J6): hop reset on match. */
+  def domainsMatch(conf: ZenoConf) = {
+    val m = new DomainsMatcher(conf.domainsCrawl)
+    udf((href: String, host: String) =>
+      href != null && host != null && m.matches(href, host))
+  }
+
+  /** Extractor dispatch (E1-E17). kind ∈ outlink | asset | atimport.
+    * doAssets/doOutlinks mirror the reference's pre-extraction gates
+    * (postprocessor/item.go:72-89, outlinks.go:151-163) — they skip the
+    * work entirely, not just the results.
+    */
+  def extractor(conf: ZenoConf) =
+    udf((url: String, body: String, contentType: String, server: String,
+         linkHeader: String, doAssets: Boolean, doOutlinks: Boolean) => {
+      if (url == null || (!doAssets && !doOutlinks)) Seq.empty[ExtractedLink]
+      else {
+        val c = conf.copy(disableAssetsCapture = conf.disableAssetsCapture || !doAssets)
+        val r = Extract.page(PageInput(url,
+          Option(contentType).getOrElse(""), Option(server).getOrElse(""),
+          Option(linkHeader).getOrElse(""), Option(body).getOrElse("")), c)
+        val out = scala.collection.mutable.ArrayBuffer.empty[ExtractedLink]
+        if (doOutlinks) r.outlinks.foreach(l => out += ExtractedLink(l, "outlink"))
+        if (doAssets) {
+          r.assets.foreach(l => out += ExtractedLink(l, "asset"))
+          r.atImports.foreach(l => out += ExtractedLink(l, "atimport"))
+        }
+        out.toSeq
+      }
+    })
+
+  /** Robots check: longest-prefix rule match, allow-all default (the
+    * reference crawls without robots — J7 in SURVEY.md §2.3).
+    * Rules are broadcast as a plain Map (small by construction).
+    */
+  def robotsAllow(rules: Map[String, Seq[(String, Boolean)]]) =
+    udf((host: String, path: String) => {
+      if (host == null) true
+      else rules.get(host) match {
+        case None => true
+        case Some(hostRules) =>
+          val p = if (path == null) "/" else path
+          val matching = hostRules.filter { case (prefix, _) => p.startsWith(prefix) }
+          if (matching.isEmpty) true
+          else matching.maxBy(_._1.length)._2
+      }
+    })
+
+  val pathOf = udf((href: String) => {
+    if (href == null) ""
+    else {
+      val i = href.indexOf("://")
+      if (i < 0) ""
+      else {
+        val rest = href.substring(i + 3)
+        val slash = rest.indexOf('/')
+        if (slash < 0) ""
+        else {
+          val p = rest.substring(slash)
+          val q = p.indexOf('?')
+          if (q >= 0) p.substring(0, q) else p
+        }
+      }
+    }
+  })
+}

@@ -1,0 +1,296 @@
+package graft.wave
+
+import org.apache.spark.sql.{DataFrame, SparkSession, Column}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.conf.ZenoConf
+import graft.spark.Udfs
+
+/** One crawl wave as a pure DataFrame → DataFrames transform, split in two
+  * phases around the lineage writes so the expensive extraction runs once:
+  *
+  *   run():    claim (S3/W1/W2: windowed per-host rank) → seencheck (J3:
+  *             hash join vs seen) → fetch (S11: join vs pages corpus) →
+  *             extract (E1-E17: UDF + explode) → canonicalize+filter
+  *             (F1-F9) → robots (J7: broadcast) → two log DataFrames.
+  *   finish(): from the *written* logs: per-seed dedupe (J1: window) →
+  *             batch + frontier + seen dedupe (J2/J3: window + left-anti)
+  *             → next frontier + seen appends.
+  *
+  * Scale notes (10^10 frontier, 1000 executors):
+  *  - claim is a two-phase top-k: rank within (host, salt) first so a
+  *    mega-host never lands in one partition (skew, SURVEY.md §4), then
+  *    rank the ≤ k·SALTS survivors per host.
+  *  - joins shuffle on url_canon/url_hash; the corpus should be bucketed
+  *    by url at ingest. Robots rules broadcast. AQE re-plans the rest.
+  *  - the log writes double as checkpoint lineage AND cut re-computation;
+  *    nothing collects to the driver except counters.
+  */
+object Wave {
+
+  val SALTS = 8
+
+  final case class WaveLogs(
+      claimedLog: DataFrame, // claimed rows + disposition (FETCHED/REDIRECT/FAILED/SEEN)
+      candidateLog: DataFrame, // every candidate + disposition + parent lineage
+      cached: DataFrame // handle for unpersist after log writes
+  )
+
+  def run(
+      spark: SparkSession,
+      conf: ZenoConf,
+      wave: Int,
+      frontier: DataFrame, // FRESH rows (FrontierStore.frontierDdl)
+      seen: DataFrame, // (url_hash, kind)
+      hostState: DataFrame, // penalties
+      pages: DataFrame, // corpus (url, warc_ts, html, text, lang)
+      fetchMeta: DataFrame, // (url, status_code, content_type, server, link_header, location)
+      robots: Map[String, Seq[(String, Boolean)]]
+  ): WaveLogs = {
+    import spark.implicits._
+
+    val canonUdf = Udfs.canonicalizer(conf)
+    val filterUdf = Udfs.filterTest(conf)
+    val domainsUdf = Udfs.domainsMatch(conf)
+    val extractUdf = Udfs.extractor(conf)
+    val robotsUdf = Udfs.robotsAllow(robots)
+
+    // ---- politeness gate (R2 discretized): drop penalized hosts ----
+    val penalized = hostState.filter($"penalty_until" > wave).select($"host")
+    val eligible = frontier.join(broadcast(penalized), Seq("host"), "left_anti")
+
+    // ---- claim (W1+W2): two-phase per-host top-k, skew-safe ----
+    val k = conf.perHostWaveBudget
+    val orderCols = Seq($"hops".asc, $"ts".asc, $"url_canon".asc)
+    val phaseA = eligible
+      .withColumn("salt", pmod(xxhash64($"url_canon"), lit(SALTS)))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"host", $"salt").orderBy(orderCols: _*)))
+      .filter($"rn" <= k).drop("rn", "salt")
+    val claimed = phaseA
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"host").orderBy(orderCols: _*)))
+      .filter($"rn" <= k).drop("rn")
+
+    // ---- seencheck at claim (J3): guards resumed/stale frontiers ----
+    val seenAgg = seenKinds(seen)
+    val checkKind = when($"kind" === "seed", "seed").otherwise("asset")
+    val checked = claimed
+      .withColumn("url_hash", Udfs.fnv64($"url_canon"))
+      .withColumn("check_kind", checkKind)
+      .join(seenAgg, Seq("url_hash"), "left")
+      .withColumn("is_seen",
+        $"seen_kind".isNotNull &&
+          !($"seen_kind" === "asset" && $"check_kind" === "seed"))
+      .drop("seen_kind")
+
+    // ---- fetch (S11): join the pages corpus + fetch metadata ----
+    val fetchable = checked.filter(!$"is_seen")
+    val seenRows = checked.filter($"is_seen")
+    val fetched = fetchable
+      .join(pages.withColumnRenamed("url", "page_url"),
+        fetchable("url_canon") === col("page_url"), "left")
+      .join(fetchMeta.withColumnRenamed("url", "meta_url"),
+        fetchable("url_canon") === col("meta_url"), "left")
+      .withColumn("status_code",
+        coalesce($"status_code", when($"page_url".isNotNull, 200)))
+      .withColumn("disposition",
+        when($"status_code".isNull, "FAILED") // not in corpus ≙ connection error
+          .when($"status_code" >= 400, "FAILED")
+          .when($"status_code" >= 300, "REDIRECT")
+          .otherwise("FETCHED"))
+
+    // ---- extraction gates (postprocessor/item.go:72-89, outlinks.go:151-163) ----
+    val domainsEnabled = conf.domainsCrawl.nonEmpty
+    val doAssets =
+      lit(!conf.disableAssetsCapture) &&
+        ($"depth" - $"redirects") <= 2 && // asset recursion gate
+        $"disposition" === "FETCHED"
+    val doOutlinks =
+      ($"hops" < conf.maxHops || (lit(domainsEnabled) && domainsUdf($"url_canon", $"host"))) &&
+        $"disposition" === "FETCHED"
+
+    // E1-E15 dispatch; cached so the two log writes traverse it once
+    val extracted = fetched
+      .withColumn("body",
+        when($"html".isNotNull, decode($"html", "UTF-8")).otherwise($"text"))
+      .withColumn("do_assets", doAssets)
+      .withColumn("do_outlinks", doOutlinks)
+      .withColumn("links",
+        extractUdf($"url_canon", $"body", $"content_type", $"server",
+          $"link_header", $"do_assets", $"do_outlinks"))
+      .drop("body", "html", "text")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val claimedLog = extracted.select(
+      $"url_canon", $"host", $"host_bucket", $"seed_id", $"kind", $"depth",
+      $"hops", $"redirects", $"css_jump", $"ts", $"url_hash", $"check_kind",
+      $"disposition", $"status_code",
+      size(filter_links($"links", "outlink")).as("n_outlinks"),
+      size(filter_links($"links", "asset")).as("n_assets"))
+      .unionByName(seenRows.select(
+        $"url_canon", $"host", $"host_bucket", $"seed_id", $"kind", $"depth",
+        $"hops", $"redirects", $"css_jump", $"ts", $"url_hash", $"check_kind",
+        lit("SEEN").as("disposition"), lit(null).cast("int").as("status_code"),
+        lit(0).as("n_outlinks"), lit(0).as("n_assets")))
+
+    // ---- candidate synthesis: extracted links + E16 redirect children ----
+    val parentCols = Seq(
+      $"url_canon".as("parent_canon"), $"seed_id".as("parent_seed"),
+      $"depth".as("parent_depth"), $"hops".as("parent_hops"),
+      $"redirects".as("parent_redirects"), $"css_jump".as("parent_css_jump"))
+    val linkChildren = extracted
+      .select(parentCols :+ explode($"links").as("l"): _*)
+      .select($"parent_canon", $"parent_seed", $"parent_depth", $"parent_hops",
+        $"parent_redirects", $"parent_css_jump",
+        $"l.link".as("raw_link"), $"l.kind".as("link_kind"))
+    val redirectChildren = extracted
+      .filter($"disposition" === "REDIRECT" && $"location".isNotNull &&
+        length($"location") > 0 && $"redirects" < conf.maxRedirect)
+      .select(parentCols :+ $"location".as("raw_link"): _*)
+      .withColumn("link_kind", lit("redirect"))
+
+    // ---- canonicalize (F1-F3) + dispositions in preprocessor order ----
+    val canonized = linkChildren.unionByName(redirectChildren)
+      .withColumn("c", canonUdf($"raw_link", $"parent_canon"))
+      .withColumn("href", $"c.href")
+      .withColumn("chost", $"c.host")
+      .withColumn("canon_reject", $"c.reject")
+      .drop("c")
+    val fpAsset = $"link_kind".isin("asset", "atimport") &&
+      Udfs.pathOf($"href").isin("", "/") // F6 false-positive asset
+    val cssOver = $"link_kind" === "atimport" &&
+      ($"parent_css_jump" + 1) > conf.maxCSSJump
+    val candidateLog = canonized.withColumn("cand_disposition",
+      when($"canon_reject".isNotNull, concat(lit("REJECT_"), upper($"canon_reject")))
+        .when(!filterUdf($"href", $"chost"), "EXCLUDED")
+        .when(fpAsset, "EXCLUDED_FP_ASSET")
+        .when(cssOver, "EXCLUDED_CSS_JUMP")
+        .when(!robotsUdf($"chost", Udfs.pathOf($"href")), "EXCLUDED_ROBOTS")
+        .otherwise("PASS"))
+      .drop("canon_reject")
+
+    WaveLogs(claimedLog, candidateLog, extracted)
+  }
+
+  /** Phase 2, reading the *written* logs: new-row construction, J1/J2/J3
+    * dedupe, frontier rebuild, seen appends.
+    */
+  def finish(
+      spark: SparkSession,
+      conf: ZenoConf,
+      wave: Int,
+      frontier: DataFrame,
+      seen: DataFrame,
+      claimedLog: DataFrame,
+      candidateLog: DataFrame
+  ): (DataFrame, DataFrame) = {
+    import spark.implicits._
+    val domainsUdf = Udfs.domainsMatch(conf)
+    val domainsEnabled = conf.domainsCrawl.nonEmpty
+
+    val passing = candidateLog.filter($"cand_disposition" === "PASS")
+
+    // ---- new-row construction (hop semantics: assets.go:142-153) ----
+    val isOutlink = $"link_kind" === "outlink"
+    val hopReset = lit(domainsEnabled) && domainsUdf($"href", $"chost")
+    val rows = passing.select(
+      $"href".as("url_canon"),
+      $"raw_link".as("url"),
+      $"chost".as("host"),
+      pmod(xxhash64($"chost"), lit(conf.hostBuckets)).cast("int").as("host_bucket"),
+      when(isOutlink, $"href").otherwise($"parent_seed").as("seed_id"),
+      $"parent_canon".as("via"),
+      when(isOutlink, "seed")
+        .when($"link_kind" === "redirect", "redirect")
+        .otherwise("asset").as("kind"),
+      when(isOutlink, 0).otherwise($"parent_depth" + 1).as("depth"),
+      when(isOutlink, when(hopReset, 0).otherwise($"parent_hops" + 1))
+        .otherwise($"parent_hops").as("hops"),
+      when($"link_kind" === "redirect", $"parent_redirects" + 1)
+        .otherwise(lit(0)).as("redirects"),
+      when($"link_kind" === "atimport", $"parent_css_jump" + 1)
+        .otherwise(when(isOutlink, 0).otherwise($"parent_css_jump")).as("css_jump"),
+      lit(wave.toLong).as("ts"))
+      .withColumn("id", $"url_canon")
+
+    // ---- J1+J2: per-seed and batch dedupe (seed wins over asset) ----
+    val kindRank = when($"kind" === "seed", 0)
+      .when($"kind" === "redirect", 1).otherwise(2)
+    val dedupedBatch = rows
+      .withColumn("kr", kindRank)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"url_canon").orderBy($"kr", $"seed_id", $"via")))
+      .filter($"rn" === 1).drop("rn", "kr")
+
+    // ---- J2 anti-join vs current frontier (UNIQUE(url_canon), schema.sql:9)
+    //      + J3 seen-pruning at enqueue, promotion-aware: a URL seen only as
+    //      an asset may re-enter as a seed (seencheck.go:110-115) ----
+    val seenAgg = seenKinds(seen)
+    val unique = dedupedBatch
+      .join(frontier.select($"url_canon"), Seq("url_canon"), "left_anti")
+      .withColumn("url_hash", Udfs.fnv64($"url_canon"))
+      .join(seenAgg, Seq("url_hash"), "left")
+      .filter($"seen_kind".isNull ||
+        ($"seen_kind" === "asset" && $"kind" === "seed"))
+      .drop("url_hash", "seen_kind")
+
+    // ---- next frontier = (frontier − claimed) ∪ unique new rows ----
+    val remaining = frontier.join(
+      claimedLog.select($"url_canon"), Seq("url_canon"), "left_anti")
+    val frontierCols = frontier.columns.map(col)
+    val newFrontier = remaining.select(frontierCols: _*)
+      .unionByName(unique.select(frontierCols: _*))
+
+    // ---- seen appends: everything processed this wave (seencheck.go:98-108)
+    val seenAppend = claimedLog.filter($"disposition" =!= "SEEN")
+      .select($"url_hash", $"check_kind".as("kind"))
+
+    (newFrontier, seenAppend)
+  }
+
+  /** Collapse the append-only seen table to one kind per hash
+    * ("seed" wins — lexically max).
+    */
+  def seenKinds(seen: DataFrame): DataFrame =
+    seen.groupBy(col("url_hash")).agg(max(col("kind")).as("seen_kind"))
+
+  private def filter_links(links: Column, kind: String): Column =
+    filter(links, l => l.getField("kind") === kind)
+
+  /** Host-state evolution after a wave (R2 penalties / R3 recovery,
+    * wave-discretized; adjust.go:9-60).
+    */
+  def nextHostState(spark: SparkSession, conf: ZenoConf, wave: Int,
+                    hostState: DataFrame, claimedLog: DataFrame): DataFrame = {
+    import spark.implicits._
+    val perHost = claimedLog.groupBy($"host").agg(
+      sum(when($"disposition" === "FAILED" &&
+        $"status_code".isin(429, 403, 408, 425), 1).otherwise(0)).as("rate_fails"),
+      sum(when($"disposition" === "FAILED" && $"status_code" >= 500, 1)
+        .otherwise(0)).as("server_fails"))
+    val joined = hostState.join(perHost, Seq("host"), "full_outer")
+      .na.fill(0L, Seq("rate_fails", "server_fails"))
+      .withColumn("failure_count0", coalesce($"failure_count", lit(0)))
+      .withColumn("refill_rate0", coalesce($"refill_rate", lit(conf.rateLimitRefillRate)))
+      .withColumn("ideal_rate0", coalesce($"ideal_rate", lit(conf.rateLimitRefillRate)))
+    val hadFailure = $"rate_fails" > 0 || $"server_fails" > 0
+    joined.select(
+      $"host",
+      // 5xx: refill halved, floored at 0.5/s; success: +10% toward ideal
+      when($"server_fails" > 0, greatest($"refill_rate0" / 2.0, lit(0.5)))
+        .otherwise(least($"ideal_rate0",
+          $"refill_rate0" + (($"ideal_rate0" - $"refill_rate0") * 0.1)))
+        .as("refill_rate"),
+      $"ideal_rate0".as("ideal_rate"),
+      // 429-class: penalty 5s·2^(n−1) capped 30s, in waves
+      when($"rate_fails" > 0,
+        lit(wave) + ceil(least(
+          lit(5.0) * pow(lit(2.0), $"failure_count0".cast("double")), lit(30.0))
+          / conf.wavePeriodSeconds).cast("long"))
+        .otherwise(coalesce($"penalty_until", lit(0L))).as("penalty_until"),
+      when(hadFailure, $"failure_count0" + 1)
+        .otherwise(greatest($"failure_count0" - 1, lit(0)))
+        .cast("int").as("failure_count"))
+  }
+}
