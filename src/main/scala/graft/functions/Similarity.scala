@@ -1,0 +1,97 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, Column}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (array<float>), Spark-first: the dot product is
+  * aggregate(zip_with(...)) — pure built-ins inside whole-stage codegen,
+  * no UDF.
+  */
+object Similarity {
+
+  /** Exact dot product of two vector columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x * x), lit(0.0d), (acc, v) => acc + v))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Integer-quantized dot product (scale ×1000, round) — bit-exact across
+    * engines, used by the oracle-checked query.
+    */
+  def quantizedDot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) =>
+        round(x.cast("double") * 1000).cast("long") *
+          round(y.cast("double") * 1000).cast("long")),
+      lit(0L), (acc, v) => acc + v)
+
+  /** Brute-force top-k cosine neighbors for each query vector — the
+    * baseline: cross join (broadcast queries), window rank.
+    */
+  def bruteForceTopK(embeddings: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val joined = embeddings.as("e").crossJoin(broadcast(queries.as("q")))
+      .filter(col("e.vec_id") =!= col("q.vec_id"))
+      .withColumn("sim", cosine(col("e.embedding"), col("q.embedding")))
+    joined.withColumn("rank", row_number().over(
+        Window.partitionBy(col("q.vec_id"))
+          .orderBy(col("sim").desc, col("e.vec_id").asc)))
+      .filter(col("rank") <= k)
+      .select(col("q.vec_id").as("query_id"), col("e.vec_id").as("neighbor_id"),
+        col("sim"), col("rank"))
+  }
+
+  /** IVF-style ANN: partition vectors into nCells buckets by nearest of
+    * nCells random centroids (deterministic: centroids are the vectors of
+    * the first nCells ids), search only the query's nProbe nearest cells.
+    * The scale path: the shuffle key is the cell id; each cell is scanned
+    * independently; recall is tunable with nProbe.
+    */
+  def ivfTopK(embeddings: DataFrame, queries: DataFrame, k: Int,
+              nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    val centroids = embeddings.orderBy(col("vec_id")).limit(nCells)
+      .select(col("vec_id").as("cell"), col("embedding").as("centroid"))
+    // assign each vector to its nearest centroid
+    def assign(df: DataFrame, vecCol: String, idCol: String, n: Int): DataFrame =
+      df.crossJoin(broadcast(centroids))
+        .withColumn("d", cosine(col(vecCol), col("centroid")))
+        .withColumn("r", row_number().over(
+          Window.partitionBy(col(idCol)).orderBy(col("d").desc, col("cell").asc)))
+        .filter(col("r") <= n).drop("d", "r", "centroid")
+    val cells = assign(embeddings, "embedding", "vec_id", 1)
+    val probes = assign(
+      queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb")),
+      "q_emb", "q_id", nProbe)
+    val scored = cells.join(probes, Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("sim", cosine(col("embedding"), col("q_emb")))
+    scored.withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id").asc)))
+      .filter(col("rank") <= k)
+      .select(col("q_id").as("query_id"), col("vec_id").as("neighbor_id"),
+        col("sim"), col("rank"))
+  }
+
+  /** Random-hyperplane LSH buckets for cosine: sign-bit signature of nBits
+    * pseudo-random hyperplanes (deterministic from dimension index hash).
+    */
+  def cosineLshBuckets(embeddings: DataFrame, nBits: Int = 16): DataFrame = {
+    // hyperplane b, dim d weight = hash-based ±1 — computed with built-ins
+    val sigBits = (0 until nBits).map { b =>
+      val proj = aggregate(
+        zip_with(col("embedding"),
+          transform(sequence(lit(0), size(col("embedding")) - 1),
+            d => when(pmod(xxhash64(concat_ws(":", lit(b), d)), lit(2)) === 0, 1.0d)
+              .otherwise(-1.0d)),
+          (x, w) => x * w),
+        lit(0.0d), (acc, v) => acc + v)
+      when(proj > 0, shiftleft(lit(1L), b)).otherwise(0L)
+    }
+    embeddings.select(col("vec_id"),
+      sigBits.reduce((a, b) => a.bitwiseOR(b)).as("lsh_bucket"))
+  }
+}

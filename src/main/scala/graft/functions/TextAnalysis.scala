@@ -1,0 +1,67 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, Column}
+import org.apache.spark.sql.functions._
+
+/** Text-quality / language-ID / token-counting operators for a training-
+  * data pipeline — all built-ins (codegen'd), no UDFs in the hot path.
+  */
+object TextAnalysis {
+
+  private val enStops = Seq("the", "and", "of", "to", "in", "is", "that", "for")
+  private val deStops = Seq("der", "die", "das", "und", "ist", "nicht", "von", "mit")
+  private val frStops = Seq("le", "la", "les", "et", "est", "pas", "des", "une")
+
+  private def stopHits(tokens: Column, stops: Seq[String]): Column =
+    size(filter(tokens, t => stops.map(s => t === s).reduce(_ || _)))
+
+  /** Whitespace tokens + a BPE-ish subword count (runs of letters, digits,
+    * or single punctuation — a cheap proxy for BPE token counts).
+    */
+  def withTokenCounts(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    docs
+      .withColumn("ws_tokens", size(split(col(textCol), " ", -1)))
+      .withColumn("bpe_ish_tokens",
+        size(filter(split(col(textCol), "(?<=[a-zA-Z0-9])(?=[^a-zA-Z0-9])|(?<=[^a-zA-Z0-9])(?=[a-zA-Z0-9])|\\s+", -1),
+          t => length(t) > 0)))
+  }
+
+  /** Quality-score features: length, punctuation ratio, stopword ratio,
+    * mean word length, alpha ratio — the classic web-text filters.
+    */
+  def qualityFeatures(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks = split(lower(col(textCol)), "\\s+", -1)
+    docs
+      .withColumn("n_chars_m", length(col(textCol)))
+      .withColumn("n_tokens", size(toks))
+      .withColumn("punct_ratio",
+        (length(col(textCol)) -
+          length(regexp_replace(col(textCol), "[\\p{Punct}]", ""))).cast("double") /
+          greatest(length(col(textCol)), lit(1)))
+      .withColumn("stopword_ratio",
+        stopHits(toks, enStops).cast("double") / greatest(size(toks), lit(1)))
+      .withColumn("mean_word_len",
+        (length(col(textCol)) - size(toks) + 1).cast("double") /
+          greatest(size(toks), lit(1)))
+      .withColumn("alpha_ratio",
+        length(regexp_replace(col(textCol), "[^a-zA-Z]", "")).cast("double") /
+          greatest(length(col(textCol)), lit(1)))
+      .withColumn("quality_ok",
+        col("n_tokens") >= 5 && col("punct_ratio") < 0.3 && col("alpha_ratio") > 0.5)
+  }
+
+  /** N-gram-heuristic language ID over en/de/fr stopword hit counts. */
+  def langId(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks = split(lower(col(textCol)), "\\s+", -1)
+    docs
+      .withColumn("en_hits", stopHits(toks, enStops))
+      .withColumn("de_hits", stopHits(toks, deStops))
+      .withColumn("fr_hits", stopHits(toks, frStops))
+      .withColumn("lang_guess",
+        when(col("en_hits") >= col("de_hits") && col("en_hits") >= col("fr_hits") &&
+          col("en_hits") > 0, "en")
+          .when(col("de_hits") >= col("fr_hits") && col("de_hits") > 0, "de")
+          .when(col("fr_hits") > 0, "fr")
+          .otherwise("unknown"))
+  }
+}

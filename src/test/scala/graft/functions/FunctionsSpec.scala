@@ -1,0 +1,131 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Dedup / similarity / text-analysis operator checks over the driver
+  * testdata (sf0.001) — semantic properties, not just row counts.
+  */
+class FunctionsSpec extends AnyFunSuite {
+  private lazy val spark = graft.engine.EngineSpec.spark
+  private val dir = "/root/testdata/sf0.001"
+  private lazy val docs = spark.read.parquet(s"$dir/documents.parquet")
+  private lazy val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+
+  test("exact dedupe groups identical texts") {
+    import spark.implicits._
+    val withDups = docs.select($"doc_id", $"text")
+      .unionByName(docs.select(($"doc_id" + 10000).as("doc_id"), $"text"))
+    val groups = Dedup.exact(withDups)
+    assert(groups.count() == docs.count()) // one group per distinct text
+    assert(groups.agg(sum($"n_copies")).first().getLong(0) == 2 * docs.count())
+    // keeper is always the smaller id
+    assert(groups.filter($"keeper_id" >= 10000).count() == 0)
+  }
+
+  test("ngram jaccard finds planted near-dups and is symmetric-safe") {
+    val pairs = Dedup.ngramJaccardPairs(docs, maxShingleFreq = Int.MaxValue).collect()
+    assert(pairs.nonEmpty, "testdata has planted near-dups")
+    // doc_a < doc_b invariant (no mirrored duplicates)
+    assert(pairs.forall(r => r.getLong(0) < r.getLong(1)))
+    // the jaccard condition actually holds
+    assert(pairs.forall(r => r.getLong(2) * 3 >= r.getLong(3) + r.getLong(4)))
+  }
+
+  test("minhash LSH candidates cover the true jaccard pairs (recall)") {
+    import spark.implicits._
+    val truth = Dedup.ngramJaccardPairs(docs, maxShingleFreq = Int.MaxValue)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val cands = Dedup.minhashLshPairs(docs, k = 32, bands = 16)
+      .as[(Long, Long)].collect().toSet
+    val recall = truth.count(cands.contains).toDouble / math.max(truth.size, 1)
+    assert(recall >= 0.9, s"LSH recall $recall over ${truth.size} true pairs")
+  }
+
+  test("simhash: identical docs collide, near-dups within small hamming") {
+    import spark.implicits._
+    val sh = Dedup.simhash(docs).as[(Long, Long)].collect().toMap
+    // identical text → identical simhash
+    val byText = docs.select($"doc_id", $"text").collect()
+      .groupBy(_.getString(1)).values.filter(_.length > 1)
+    byText.foreach { rows =>
+      val hashes = rows.map(r => sh(r.getLong(0))).toSet
+      assert(hashes.size == 1)
+    }
+    // true near-dup pairs have small hamming distance on average
+    val truth = Dedup.ngramJaccardPairs(docs, maxShingleFreq = Int.MaxValue)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    if (truth.nonEmpty) {
+      val dists = truth.map { case (a, b) =>
+        java.lang.Long.bitCount(sh(a) ^ sh(b))
+      }
+      assert(dists.sum.toDouble / dists.length < 20,
+        s"near-dups should be hamming-close, mean=${dists.sum.toDouble / dists.length}")
+    }
+  }
+
+  test("IVF ANN recall vs brute force") {
+    import spark.implicits._
+    val queries = emb.filter($"vec_id" < 10)
+    val exact = Similarity.bruteForceTopK(emb, queries, 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.ivfTopK(emb, queries, 5, nCells = 8, nProbe = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = exact.count(approx.contains).toDouble / exact.size
+    assert(recall >= 0.5, s"IVF recall@5 = $recall (nProbe=4/8 cells)")
+  }
+
+  test("quantized dot product is deterministic and matches plain dot sign") {
+    import spark.implicits._
+    val a = emb.filter($"vec_id" === 0).select($"embedding").first().getSeq[Float](0)
+    val b = emb.filter($"vec_id" === 1).select($"embedding").first().getSeq[Float](0)
+    val expected = a.zip(b).map { case (x, y) =>
+      math.round(x.toDouble * 1000) * math.round(y.toDouble * 1000)
+    }.sum
+    val got = emb.filter($"vec_id" === 0).crossJoin(
+        emb.filter($"vec_id" === 1).select($"embedding".as("b")))
+      .select(Similarity.quantizedDot($"embedding", $"b").as("dot"))
+      .first().getLong(0)
+    assert(got == expected)
+  }
+
+  test("language ID separates english-ish from stopword-free docs") {
+    val out = TextAnalysis.langId(docs)
+    assert(out.filter(col("lang_guess") === "en").count() > 0)
+    // guess is one of the known labels
+    assert(out.filter(!col("lang_guess").isin("en", "de", "fr", "unknown")).count() == 0)
+  }
+
+  test("token counts: bpe-ish >= whitespace tokens") {
+    val out = TextAnalysis.withTokenCounts(docs)
+    assert(out.filter(col("bpe_ish_tokens") < col("ws_tokens")).count() == 0)
+  }
+
+  test("multimodal: format sniff + stubbed decode keeps schema and determinism") {
+    import spark.implicits._
+    val blobs = Seq(
+      (1L, Array[Byte](0x89.toByte, 'P', 'N', 'G', 13, 10)),
+      (2L, Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xe0.toByte)),
+      (3L, "GIF89a".getBytes("UTF-8")),
+      (4L, "plain text".getBytes("UTF-8"))
+    ).toDF("id", "content")
+    val meta = Multimodal.withMeta(blobs)
+    val formats = meta.select("id", "format").as[(Long, String)].collect().toMap
+    assert(formats == Map(1L -> "png", 2L -> "jpeg", 3L -> "gif", 4L -> "unknown"))
+    val dec1 = Multimodal.decodeStub(spark, blobs).collect().map(_.toString).sorted
+    val dec2 = Multimodal.decodeStub(spark, blobs).collect().map(_.toString).sorted
+    assert(dec1.sameElements(dec2), "stub decode must be deterministic")
+    assert(Multimodal.decodeStub(spark, blobs).schema.fieldNames.toSeq ==
+      Seq("id", "format", "features"))
+  }
+
+  test("fingerprints: shared windows between duplicated docs") {
+    import spark.implicits._
+    val two = docs.limit(1).select(lit(1L).as("doc_id"), $"text")
+      .unionByName(docs.limit(1).select(lit(2L).as("doc_id"), $"text"))
+    val fp = Dedup.fingerprints(two)
+    val byDoc = fp.groupBy($"doc_id").agg(collect_set($"fp").as("s"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(byDoc(1L).toSet == byDoc(2L).toSet, "identical docs share all fingerprints")
+  }
+}
