@@ -35,7 +35,12 @@ final case class ZenoConf(
     // politeness discretization: budget per host per wave (W2) =
     // refillRate * wavePeriodSeconds, capped at capacity
     wavePeriodSeconds: Double = 1.0,
-    hostBuckets: Int = 64
+    hostBuckets: Int = 64,
+    // partitioned Bloom seen-filter (north-star shape): one shard per host
+    // bucket, pre-filtering the exact seen join
+    useBloomSeenFilter: Boolean = true,
+    bloomExpectedPerShard: Long = 100000L,
+    bloomFpp: Double = 0.01
 ) {
   def perHostWaveBudget: Int =
     math.min(rateLimitCapacity, rateLimitRefillRate * wavePeriodSeconds).toInt.max(1)

@@ -40,7 +40,9 @@ final class FrontierStore(val workDir: String) {
       seen: Seq[String],
       hostState: Seq[String],
       counters: Seq[String],
-      frontierRows: Long // row count → auto-finish check without a Spark job
+      frontierRows: Long, // row count → auto-finish check without a Spark job
+      bloom: Seq[String] = Nil, // Bloom shard table paths
+      waveCounters: Map[String, Long] = Map.empty // this wave's counters (lineage)
   )
 
   def latest: Option[Snapshot] = {
@@ -57,9 +59,25 @@ final class FrontierStore(val workDir: String) {
     val node = mapper.readTree(Files.readAllBytes(snapPath(version)))
     def arr(field: String): Seq[String] =
       node.get(field).elements().asScala.map(_.asText()).toSeq
+    val waveCounters =
+      if (node.has("wave_counters")) {
+        val wc = node.get("wave_counters")
+        wc.properties().asScala.map(e => e.getKey -> e.getValue.asLong()).toMap
+      } else Map.empty[String, Long]
     Snapshot(version, node.get("wave").asInt(), arr("frontier"), arr("seen"),
       arr("host_state"), arr("counters"),
-      if (node.has("frontier_rows")) node.get("frontier_rows").asLong() else -1L)
+      if (node.has("frontier_rows")) node.get("frontier_rows").asLong() else -1L,
+      if (node.has("bloom")) arr("bloom") else Nil,
+      waveCounters)
+  }
+
+  /** All snapshots in version order (lineage walk). */
+  def history: Seq[Snapshot] = {
+    Files.list(snapDir).iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(n => n.startsWith("v") && n.endsWith(".json"))
+      .map(n => n.stripPrefix("v").stripSuffix(".json").toInt)
+      .toSeq.sorted.map(read)
   }
 
   private def snapPath(version: Int): Path =
@@ -68,7 +86,8 @@ final class FrontierStore(val workDir: String) {
   /** Atomically commit the next snapshot. */
   def commit(wave: Int, frontier: Seq[String], seen: Seq[String],
              hostState: Seq[String], counters: Seq[String],
-             frontierRows: Long = -1L): Snapshot = {
+             frontierRows: Long = -1L, bloom: Seq[String] = Nil,
+             waveCounters: Map[String, Long] = Map.empty): Snapshot = {
     val version = latest.map(_.version + 1).getOrElse(0)
     val node: ObjectNode = mapper.createObjectNode()
     node.put("wave", wave)
@@ -82,10 +101,14 @@ final class FrontierStore(val workDir: String) {
     put("seen", seen)
     put("host_state", hostState)
     put("counters", counters)
+    put("bloom", bloom)
+    val wc = node.putObject("wave_counters")
+    waveCounters.foreach { case (k, v) => wc.put(k, v) }
     val tmp = snapDir.resolve(f".v$version%05d.json.tmp")
     Files.write(tmp, mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(node))
     Files.move(tmp, snapPath(version), StandardCopyOption.ATOMIC_MOVE)
-    Snapshot(version, wave, frontier, seen, hostState, counters, frontierRows)
+    Snapshot(version, wave, frontier, seen, hostState, counters, frontierRows,
+      bloom, waveCounters)
   }
 
   /** Fresh parquet output dir for a table at a wave. */
@@ -101,7 +124,7 @@ final class FrontierStore(val workDir: String) {
 
   /** Drop data dirs not referenced by the latest snapshot (GC). */
   def vacuum(): Unit = latest.foreach { snap =>
-    val live = (snap.frontier ++ snap.seen ++ snap.hostState ++ snap.counters)
+    val live = (snap.frontier ++ snap.seen ++ snap.hostState ++ snap.counters ++ snap.bloom)
       .map(p => Paths.get(p).getFileName.toString).toSet
     Files.list(dataDir).iterator().asScala.toSeq.foreach { p =>
       if (!live.contains(p.getFileName.toString)) deleteRecursively(p)
@@ -120,7 +143,7 @@ object FrontierStore {
     "id string, url string, url_canon string, host string, host_bucket int, " +
     "seed_id string, via string, kind string, depth int, hops int, " +
     "redirects int, css_jump int, ts bigint"
-  val seenDdl: String = "url_hash bigint, kind string"
+  val seenDdl: String = "url_hash bigint, kind string, host_bucket int"
   val hostStateDdl: String =
     "host string, refill_rate double, ideal_rate double, penalty_until bigint, failure_count int"
   val countersDdl: String =

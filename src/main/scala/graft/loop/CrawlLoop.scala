@@ -66,9 +66,16 @@ final class CrawlLoop(
     val snap = store.latest.getOrElse(sys.error("store not initialized"))
     store.readTable(spark, snap.seen, FrontierStore.seenDdl)
   }
+  /** Per-wave counters, reconstructed from the snapshot lineage. */
   def counters: DataFrame = {
-    val snap = store.latest.getOrElse(sys.error("store not initialized"))
-    store.readTable(spark, snap.counters, FrontierStore.countersDdl)
+    import spark.implicits._
+    store.history.filter(_.wave > 0).map { s =>
+      val c = s.waveCounters
+      CounterRow(s.wave, c.getOrElse("claimed", 0L), c.getOrElse("fetched", 0L),
+        c.getOrElse("failed", 0L), c.getOrElse("deduped", 0L),
+        c.getOrElse("excluded", 0L), c.getOrElse("queued", 0L),
+        c.getOrElse("seeds_finished", 0L))
+    }.toDS().toDF()
   }
   def hostState: DataFrame = {
     val snap = store.latest.getOrElse(sys.error("store not initialized"))
@@ -88,8 +95,24 @@ final class CrawlLoop(
     val seenDf = store.readTable(spark, snap.seen, FrontierStore.seenDdl)
     val hostDf = store.readTable(spark, snap.hostState, FrontierStore.hostStateDdl)
 
+    // partitioned Bloom seen-filter shards (north-star): collect + broadcast
+    val bloomLookup: Option[graft.frontier.BloomShards.Lookup] =
+      if (!conf.useBloomSeenFilter) None
+      else if (snap.bloom.nonEmpty) Some(graft.frontier.BloomShards.collectLookup(
+        store.readTable(spark, snap.bloom, graft.frontier.BloomShards.ShardDdl),
+        key = snap.bloom.mkString(",")))
+      else if (snap.seen.nonEmpty) {
+        // resume into a store without shards: rebuild from the full seen set
+        val rebuilt = graft.frontier.BloomShards.build(spark,
+          seenDf, conf.bloomExpectedPerShard, conf.bloomFpp)
+        val dir = store.newTableDir(wave, "bloom-rebuild")
+        rebuilt.write.mode("overwrite").parquet(dir)
+        Some(graft.frontier.BloomShards.collectLookup(
+          spark.read.parquet(dir), key = dir))
+      } else Some(graft.frontier.BloomShards.Lookup("empty", Map.empty))
+
     val logs = Wave.run(spark, conf, wave, frontierDf, seenDf, hostDf,
-      pages, fetchMeta, robots)
+      pages, fetchMeta, robots, bloomLookup)
 
     val dirs = Map(
       "claimed" -> store.newTableDir(wave, "claimed"),
@@ -97,7 +120,7 @@ final class CrawlLoop(
       "frontier" -> store.newTableDir(wave, "frontier"),
       "seen" -> store.newTableDir(wave, "seen"),
       "host_state" -> store.newTableDir(wave, "host_state"),
-      "counters" -> store.newTableDir(wave, "counters"))
+      "bloom" -> store.newTableDir(wave, "bloom"))
 
     // phase-1 writes: lineage logs (extraction traverses ONCE — cached)
     val obsClaimed = new org.apache.spark.sql.Observation(s"claimed-$wave")
@@ -118,7 +141,7 @@ final class CrawlLoop(
     val claimedLog = spark.read.parquet(dirs("claimed"))
     val candLog = spark.read.parquet(dirs("cands"))
     val (newFrontier, seenAppend) =
-      Wave.finish(spark, conf, wave, frontierDf, seenDf, claimedLog, candLog)
+      Wave.finish(spark, conf, wave, frontierDf, seenDf, claimedLog, candLog, bloomLookup)
 
     val obsFrontier = new org.apache.spark.sql.Observation(s"frontier-$wave")
     newFrontier.observe(obsFrontier,
@@ -130,10 +153,28 @@ final class CrawlLoop(
     Wave.nextHostState(spark, conf, wave, hostDf, claimedLog)
       .write.mode("overwrite").parquet(dirs("host_state"))
 
+    // Bloom shards: merge this wave's hashes in (incremental, per bucket)
+    val bloomPaths =
+      if (!conf.useBloomSeenFilter) Nil
+      else {
+        val oldShards =
+          if (snap.bloom.nonEmpty)
+            store.readTable(spark, snap.bloom, graft.frontier.BloomShards.ShardDdl)
+          else spark.emptyDataFrame
+            .withColumn("host_bucket", lit(0))
+            .withColumn("bloom", lit(null).cast("binary"))
+            .limit(0)
+        graft.frontier.BloomShards.merge(spark, oldShards,
+            spark.read.parquet(dirs("seen")),
+            conf.bloomExpectedPerShard, conf.bloomFpp)
+          .write.mode("overwrite").parquet(dirs("bloom"))
+        Seq(dirs("bloom"))
+      }
+
     // seeds finished: claimed seeds with no remaining frontier rows
     val newFrontierDf = spark.read.parquet(dirs("frontier"))
-    val finished = frontierDf.select($"seed_id").distinct()
-      .join(newFrontierDf.select($"seed_id").distinct(), Seq("seed_id"), "left_anti")
+    val finished = claimedLog.select($"seed_id").distinct()
+      .join(newFrontierDf.select($"seed_id"), Seq("seed_id"), "left_anti")
       .count()
 
     def m(o: org.apache.spark.sql.Observation, k: String): Long =
@@ -150,8 +191,6 @@ final class CrawlLoop(
       queued = queued,
       seeds_finished = finished)
 
-    Seq(counterRow).toDS().write.mode("overwrite").parquet(dirs("counters"))
-
     // seen compaction when fragmented
     val seenPaths0 = snap.seen :+ dirs("seen")
     val seenPaths =
@@ -163,8 +202,12 @@ final class CrawlLoop(
       } else seenPaths0
 
     store.commit(wave, Seq(dirs("frontier")), seenPaths,
-      Seq(dirs("host_state")), snap.counters :+ dirs("counters"),
-      m(obsFrontier, "rows"))
+      Seq(dirs("host_state")), Nil,
+      m(obsFrontier, "rows"), bloomPaths,
+      Map("claimed" -> counterRow.claimed, "fetched" -> counterRow.fetched,
+        "failed" -> counterRow.failed, "deduped" -> counterRow.deduped,
+        "excluded" -> counterRow.excluded, "queued" -> counterRow.queued,
+        "seeds_finished" -> counterRow.seeds_finished))
     Some(counterRow)
   }
 

@@ -54,7 +54,7 @@ final case class FrontierRow(
 /** URL-seen set row, fnv64a-keyed like the reference's LevelDB seencheck
   * (internal/pkg/preprocessor/seencheck/seencheck.go:35-47).
   */
-final case class SeenRow(url_hash: Long, kind: String)
+final case class SeenRow(url_hash: Long, kind: String, host_bucket: Int)
 
 /** Per-host politeness state, the wave-discretized token bucket
   * (internal/pkg/archiver/ratelimiter/ratelimiter.go:24-37, adjust.go:9-60).

@@ -45,7 +45,8 @@ object Wave {
       hostState: DataFrame, // penalties
       pages: DataFrame, // corpus (url, warc_ts, html, text, lang)
       fetchMeta: DataFrame, // (url, status_code, content_type, server, link_header, location)
-      robots: Map[String, Seq[(String, Boolean)]]
+      robots: Map[String, Seq[(String, Boolean)]],
+      bloom: Option[graft.frontier.BloomShards.Lookup] = None
   ): WaveLogs = {
     import spark.implicits._
 
@@ -72,17 +73,28 @@ object Wave {
         Window.partitionBy($"host").orderBy(orderCols: _*)))
       .filter($"rn" <= k).drop("rn")
 
-    // ---- seencheck at claim (J3): guards resumed/stale frontiers ----
+    // ---- seencheck at claim (J3): guards resumed/stale frontiers.
+    //      Bloom shards pre-filter: a negative skips the exact join ----
     val seenAgg = seenKinds(seen)
     val checkKind = when($"kind" === "seed", "seed").otherwise("asset")
-    val checked = claimed
+    val hashed = claimed
       .withColumn("url_hash", Udfs.fnv64($"url_canon"))
       .withColumn("check_kind", checkKind)
+    def exactCheck(df: DataFrame): DataFrame = df
       .join(seenAgg, Seq("url_hash"), "left")
       .withColumn("is_seen",
         $"seen_kind".isNotNull &&
           !($"seen_kind" === "asset" && $"check_kind" === "seed"))
       .drop("seen_kind")
+    val checked = bloom match {
+      case Some(bl) =>
+        val maybeUdf = udf((b: Int, h: Long) => bl.maybeSeen(b, h))
+        val flagged = hashed.withColumn("maybe", maybeUdf($"host_bucket", $"url_hash"))
+        exactCheck(flagged.filter($"maybe").drop("maybe"))
+          .unionByName(flagged.filter(!$"maybe").drop("maybe")
+            .withColumn("is_seen", lit(false)))
+      case None => exactCheck(hashed)
+    }
 
     // ---- fetch (S11): join the pages corpus + fetch metadata ----
     val fetchable = checked.filter(!$"is_seen")
@@ -183,7 +195,8 @@ object Wave {
       frontier: DataFrame,
       seen: DataFrame,
       claimedLog: DataFrame,
-      candidateLog: DataFrame
+      candidateLog: DataFrame,
+      bloom: Option[graft.frontier.BloomShards.Lookup] = None
   ): (DataFrame, DataFrame) = {
     import spark.implicits._
     val domainsUdf = Udfs.domainsMatch(conf)
@@ -225,15 +238,25 @@ object Wave {
 
     // ---- J2 anti-join vs current frontier (UNIQUE(url_canon), schema.sql:9)
     //      + J3 seen-pruning at enqueue, promotion-aware: a URL seen only as
-    //      an asset may re-enter as a seed (seencheck.go:110-115) ----
+    //      an asset may re-enter as a seed (seencheck.go:110-115).
+    //      Bloom-negative rows skip the exact seen join entirely ----
     val seenAgg = seenKinds(seen)
-    val unique = dedupedBatch
+    val inFrontier = dedupedBatch
       .join(frontier.select($"url_canon"), Seq("url_canon"), "left_anti")
       .withColumn("url_hash", Udfs.fnv64($"url_canon"))
+    def exactPrune(df: DataFrame): DataFrame = df
       .join(seenAgg, Seq("url_hash"), "left")
       .filter($"seen_kind".isNull ||
         ($"seen_kind" === "asset" && $"kind" === "seed"))
-      .drop("url_hash", "seen_kind")
+      .drop("seen_kind")
+    val unique = (bloom match {
+      case Some(bl) =>
+        val maybeUdf = udf((b: Int, h: Long) => bl.maybeSeen(b, h))
+        val flagged = inFrontier.withColumn("maybe", maybeUdf($"host_bucket", $"url_hash"))
+        exactPrune(flagged.filter($"maybe").drop("maybe"))
+          .unionByName(flagged.filter(!$"maybe").drop("maybe"))
+      case None => exactPrune(inFrontier)
+    }).drop("url_hash")
 
     // ---- next frontier = (frontier − claimed) ∪ unique new rows ----
     val remaining = frontier.join(
@@ -244,7 +267,7 @@ object Wave {
 
     // ---- seen appends: everything processed this wave (seencheck.go:98-108)
     val seenAppend = claimedLog.filter($"disposition" =!= "SEEN")
-      .select($"url_hash", $"check_kind".as("kind"))
+      .select($"url_hash", $"check_kind".as("kind"), $"host_bucket")
 
     (newFrontier, seenAppend)
   }

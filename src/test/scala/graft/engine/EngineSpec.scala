@@ -172,6 +172,27 @@ class EngineSpec extends AnyFunSuite {
     assert(state(loopA) == state(loopB2), "resumed crawl must equal uninterrupted crawl")
   }
 
+  test("bloom seen-filter is result-equivalent to exact-only path") {
+    val corpus = tmpDir("corpus")
+    val pages = (0 until 20).map { i =>
+      page(s"http://h${i % 4}.com/p$i",
+        Seq(s"http://h${(i + 1) % 4}.com/p${(i + 3) % 20}", s"/p${(i + 7) % 20}"))
+    }
+    writeCorpus(corpus, pages)
+    val seeds = Seq("http://h0.com/p0", "http://h1.com/p1")
+    def runWith(bloom: Boolean) = {
+      val loop = new CrawlLoop(spark,
+        testConf.copy(useBloomSeenFilter = bloom, bloomExpectedPerShard = 1000),
+        tmpDir(s"store-$bloom"), corpus, Map.empty)
+      loop.init(seeds)
+      val cs = loop.run(5)
+      (cs.map(c => (c.claimed, c.fetched, c.deduped, c.queued)),
+        loop.frontier.select("url_canon").collect().map(_.getString(0)).toSet,
+        loop.seen.select("url_hash").collect().map(_.getLong(0)).toSet)
+    }
+    assert(runWith(bloom = true) == runWith(bloom = false))
+  }
+
   test("auto-finish on drained frontier") {
     val corpus = tmpDir("corpus")
     writeCorpus(corpus, Seq(page("http://a.com/", Nil)))
