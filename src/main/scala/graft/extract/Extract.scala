@@ -12,7 +12,8 @@ final case class PageInput(
     contentType: String, // e.g. "text/html"
     server: String = "", // Server response header
     linkHeader: String = "", // Link response header
-    body: String = ""
+    body: String = "",
+    bodyBytes: Array[Byte] = null // raw bytes; when set, charset-decoded (E6)
 )
 
 final case class ExtractResult(
@@ -41,8 +42,14 @@ object Extract {
   def isM3u8(ct: String): Boolean =
     ct != null && (ct.contains("application/vnd.apple.mpegurl") || ct.toLowerCase.contains("application/x-mpegurl"))
 
-  def page(p: PageInput, conf: ZenoConf = ZenoConf.default): ExtractResult = {
-    val ct = if (p.contentType == null) "" else p.contentType
+  def page(p0: PageInput, conf: ZenoConf = ZenoConf.default): ExtractResult = {
+    val ct = if (p0.contentType == null) "" else p0.contentType
+    // E6 charset transform: decode raw bytes per BOM/header/meta detection
+    val (p, docCharset) =
+      if (p0.bodyBytes != null) {
+        val (text, name) = Charsets.decodeBody(p0.bodyBytes, ct)
+        (p0.copy(body = text), name)
+      } else (p0, "utf-8")
     val isSitemap = isXml(ct) && Xml.isSitemap(p.body)
 
     // lazily scan HTML once for both paths
@@ -83,6 +90,13 @@ object Extract {
         assets ++= links
         atImports ++= ai
       }
+    }
+
+    // E6: URLs extracted from a non-UTF-8 HTML doc get their query
+    // re-encoded in the source charset (html.go:128, html_document.go:95)
+    if (isHtml(ct) && !Charsets.isUtf8Name(docCharset)) {
+      outlinks = Charsets.encodeNonUtf8QueryUrls(outlinks, docCharset).toVector
+      assets = Charsets.encodeNonUtf8QueryUrls(assets, docCharset).toVector
     }
 
     // --- sanitize (assets.go:100-153 + protocol filter utils.go:9-30) ---

@@ -82,6 +82,17 @@ final class CrawlLoop(
     store.readTable(spark, snap.hostState, FrontierStore.hostStateDdl)
   }
 
+  private val debugTiming = sys.env.get("SPARK_GRAFT_WAVE_TIMING").contains("1")
+  private def timed[T](phase: String)(f: => T): T = {
+    if (!debugTiming) f
+    else {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"    [wave-timing] $phase: ${(System.nanoTime() - t0) / 1e9}%.2fs")
+      r
+    }
+  }
+
   /** Run one wave. Returns the wave's counters, or None if the frontier
     * was empty (auto-finish, S8). Per-wave counters ride the log writes as
     * Dataset.observe metrics (A3) — no extra aggregation jobs.
@@ -124,17 +135,17 @@ final class CrawlLoop(
 
     // phase-1 writes: lineage logs (extraction traverses ONCE — cached)
     val obsClaimed = new org.apache.spark.sql.Observation(s"claimed-$wave")
-    logs.claimedLog.observe(obsClaimed,
+    timed("claimed-write") { logs.claimedLog.observe(obsClaimed,
       count(lit(1)).as("claimed"),
       sum(when($"disposition".isin("FETCHED", "REDIRECT"), 1L).otherwise(0L)).as("fetched"),
       sum(when($"disposition" === "FAILED", 1L).otherwise(0L)).as("failed"),
       sum(when($"disposition" === "SEEN", 1L).otherwise(0L)).as("seen"))
-      .write.mode("overwrite").parquet(dirs("claimed"))
+      .write.mode("overwrite").parquet(dirs("claimed")) }
     val obsCands = new org.apache.spark.sql.Observation(s"cands-$wave")
-    logs.candidateLog.observe(obsCands,
+    timed("cands-write") { logs.candidateLog.observe(obsCands,
       sum(when($"cand_disposition" =!= "PASS", 1L).otherwise(0L)).as("excluded"),
       sum(when($"cand_disposition" === "PASS", 1L).otherwise(0L)).as("passed"))
-      .write.mode("overwrite").parquet(dirs("cands"))
+      .write.mode("overwrite").parquet(dirs("cands")) }
     logs.cached.unpersist()
 
     // phase-2: rebuild frontier/seen from the written logs
@@ -144,14 +155,14 @@ final class CrawlLoop(
       Wave.finish(spark, conf, wave, frontierDf, seenDf, claimedLog, candLog, bloomLookup)
 
     val obsFrontier = new org.apache.spark.sql.Observation(s"frontier-$wave")
-    newFrontier.observe(obsFrontier,
+    timed("frontier-write") { newFrontier.observe(obsFrontier,
       count(lit(1)).as("rows"),
       sum(when($"ts" === wave, 1L).otherwise(0L)).as("queued"))
       .repartition(col("host_bucket"))
-      .write.mode("overwrite").parquet(dirs("frontier"))
-    seenAppend.write.mode("overwrite").parquet(dirs("seen"))
-    Wave.nextHostState(spark, conf, wave, hostDf, claimedLog)
-      .write.mode("overwrite").parquet(dirs("host_state"))
+      .write.mode("overwrite").parquet(dirs("frontier")) }
+    timed("seen-write") { seenAppend.write.mode("overwrite").parquet(dirs("seen")) }
+    timed("hoststate-write") { Wave.nextHostState(spark, conf, wave, hostDf, claimedLog)
+      .write.mode("overwrite").parquet(dirs("host_state")) }
 
     // Bloom shards: merge this wave's hashes in (incremental, per bucket)
     val bloomPaths =
@@ -164,18 +175,18 @@ final class CrawlLoop(
             .withColumn("host_bucket", lit(0))
             .withColumn("bloom", lit(null).cast("binary"))
             .limit(0)
-        graft.frontier.BloomShards.merge(spark, oldShards,
+        timed("bloom-merge") { graft.frontier.BloomShards.merge(spark, oldShards,
             spark.read.parquet(dirs("seen")),
             conf.bloomExpectedPerShard, conf.bloomFpp)
-          .write.mode("overwrite").parquet(dirs("bloom"))
+          .write.mode("overwrite").parquet(dirs("bloom")) }
         Seq(dirs("bloom"))
       }
 
     // seeds finished: claimed seeds with no remaining frontier rows
     val newFrontierDf = spark.read.parquet(dirs("frontier"))
-    val finished = claimedLog.select($"seed_id").distinct()
+    val finished = timed("seeds-finished") { claimedLog.select($"seed_id").distinct()
       .join(newFrontierDf.select($"seed_id"), Seq("seed_id"), "left_anti")
-      .count()
+      .count() }
 
     def m(o: org.apache.spark.sql.Observation, k: String): Long =
       o.get.get(k).collect { case l: Long => l }.getOrElse(0L)

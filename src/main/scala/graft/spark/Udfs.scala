@@ -54,14 +54,15 @@ object Udfs {
     * work entirely, not just the results.
     */
   def extractor(conf: ZenoConf) =
-    udf((url: String, body: String, contentType: String, server: String,
-         linkHeader: String, doAssets: Boolean, doOutlinks: Boolean) => {
+    udf((url: String, html: Array[Byte], text: String, contentType: String,
+         server: String, linkHeader: String, doAssets: Boolean, doOutlinks: Boolean) => {
       if (url == null || (!doAssets && !doOutlinks)) Seq.empty[ExtractedLink]
       else {
         val c = conf.copy(disableAssetsCapture = conf.disableAssetsCapture || !doAssets)
         val r = Extract.page(PageInput(url,
           Option(contentType).getOrElse(""), Option(server).getOrElse(""),
-          Option(linkHeader).getOrElse(""), Option(body).getOrElse("")), c)
+          Option(linkHeader).getOrElse(""), Option(text).getOrElse(""),
+          bodyBytes = html), c)
         val out = scala.collection.mutable.ArrayBuffer.empty[ExtractedLink]
         if (doOutlinks) r.outlinks.foreach(l => out += ExtractedLink(l, "outlink"))
         if (doAssets) {

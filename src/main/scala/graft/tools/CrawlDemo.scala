@@ -18,6 +18,7 @@ object CrawlDemo {
     val maxWaves = if (args.length > 2) args(2).toInt else 5
     val cores = if (args.length > 3) args(3).toInt else 8
     val nPages = if (args.length > 4) args(4).toLong else 2000L
+    val nHosts = if (args.length > 5) args(5).toInt else 20
 
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
@@ -29,7 +30,7 @@ object CrawlDemo {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val spec = Corpus.Spec(nPages = nPages)
+    val spec = Corpus.Spec(nPages = nPages, nHosts = nHosts)
     val corpusDir = s"$workDir/corpus"
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$corpusDir/pages"))) {
       println(s"generating corpus: ${spec.nPages} pages / ${spec.nHosts} hosts → $corpusDir")

@@ -122,16 +122,15 @@ object Wave {
       ($"hops" < conf.maxHops || (lit(domainsEnabled) && domainsUdf($"url_canon", $"host"))) &&
         $"disposition" === "FETCHED"
 
-    // E1-E15 dispatch; cached so the two log writes traverse it once
+    // E1-E15 dispatch (charset handled inside, E6); cached so the two log
+    // writes traverse it once
     val extracted = fetched
-      .withColumn("body",
-        when($"html".isNotNull, decode($"html", "UTF-8")).otherwise($"text"))
       .withColumn("do_assets", doAssets)
       .withColumn("do_outlinks", doOutlinks)
       .withColumn("links",
-        extractUdf($"url_canon", $"body", $"content_type", $"server",
+        extractUdf($"url_canon", $"html", $"text", $"content_type", $"server",
           $"link_header", $"do_assets", $"do_outlinks"))
-      .drop("body", "html", "text")
+      .drop("html", "text")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val claimedLog = extracted.select(
