@@ -64,6 +64,12 @@ object OracleData {
         (i % 7).toInt, (i % 4).toInt)
     }.toDF("url_canon", "host", "seed_id", "wave", "disposition", "n_outlinks", "hops")
     done.coalesce(1).write.mode("overwrite").parquet(s"$Dir/done_log")
+
+    // seeds.txt: plain seed list with comments/blanks (S2 fixture)
+    val seedLines = (Seq("# zenospark oracle seed list", "") ++
+      (0 until 10).flatMap(h => Seq(Corpus.urlOf(h, 0), ""))) :+ "# end"
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$Dir/seeds.txt"),
+      seedLines.mkString("\n").getBytes("UTF-8"))
   }
 
   def table(spark: SparkSession, name: String): DataFrame =

@@ -148,24 +148,36 @@ final class CrawlLoop(
       .write.mode("overwrite").parquet(dirs("cands")) }
     logs.cached.unpersist()
 
-    // phase-2: rebuild frontier/seen from the written logs
+    // phase-2: rebuild frontier/seen from the written logs. The four
+    // downstream jobs are independent given the logs — submit them
+    // concurrently (Spark schedules parallel jobs from multiple threads),
+    // cutting the serial per-wave tail that hurts scaling efficiency.
     val claimedLog = spark.read.parquet(dirs("claimed"))
     val candLog = spark.read.parquet(dirs("cands"))
     val (newFrontier, seenAppend) =
       Wave.finish(spark, conf, wave, frontierDf, seenDf, claimedLog, candLog, bloomLookup)
 
-    val obsFrontier = new org.apache.spark.sql.Observation(s"frontier-$wave")
-    timed("frontier-write") { newFrontier.observe(obsFrontier,
-      count(lit(1)).as("rows"),
-      sum(when($"ts" === wave, 1L).otherwise(0L)).as("queued"))
-      .repartition(col("host_bucket"))
-      .write.mode("overwrite").parquet(dirs("frontier")) }
-    timed("seen-write") { seenAppend.write.mode("overwrite").parquet(dirs("seen")) }
-    timed("hoststate-write") { Wave.nextHostState(spark, conf, wave, hostDf, claimedLog)
-      .write.mode("overwrite").parquet(dirs("host_state")) }
+    import scala.concurrent.{Future, Await, ExecutionContext}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = CrawlLoop.waveEc
 
-    // Bloom shards: merge this wave's hashes in (incremental, per bucket)
-    val bloomPaths =
+    val obsFrontier = new org.apache.spark.sql.Observation(s"frontier-$wave")
+    val fFrontier = Future { timed("frontier-write") {
+      newFrontier.observe(obsFrontier,
+        count(lit(1)).as("rows"),
+        sum(when($"ts" === wave, 1L).otherwise(0L)).as("queued"))
+        .repartition(col("host_bucket"))
+        .write.mode("overwrite").parquet(dirs("frontier")) } }
+    val fSeen = Future { timed("seen-write") {
+      seenAppend.write.mode("overwrite").parquet(dirs("seen")) } }
+    val fHost = Future { timed("hoststate-write") {
+      Wave.nextHostState(spark, conf, wave, hostDf, claimedLog)
+        .write.mode("overwrite").parquet(dirs("host_state")) } }
+    Await.result(fSeen, Duration.Inf)
+
+    // Bloom shards: merge this wave's hashes in (incremental, per bucket);
+    // runs concurrently with the frontier write + seeds-finished count
+    val fBloom: Future[Seq[String]] = Future {
       if (!conf.useBloomSeenFilter) Nil
       else {
         val oldShards =
@@ -181,12 +193,16 @@ final class CrawlLoop(
           .write.mode("overwrite").parquet(dirs("bloom")) }
         Seq(dirs("bloom"))
       }
+    }
 
     // seeds finished: claimed seeds with no remaining frontier rows
+    Await.result(fFrontier, Duration.Inf)
     val newFrontierDf = spark.read.parquet(dirs("frontier"))
     val finished = timed("seeds-finished") { claimedLog.select($"seed_id").distinct()
       .join(newFrontierDf.select($"seed_id"), Seq("seed_id"), "left_anti")
       .count() }
+    val bloomPaths = Await.result(fBloom, Duration.Inf)
+    Await.result(fHost, Duration.Inf)
 
     def m(o: org.apache.spark.sql.Observation, k: String): Long =
       o.get.get(k).collect { case l: Long => l }.getOrElse(0L)
@@ -234,4 +250,15 @@ final class CrawlLoop(
     }
     acc.toSeq
   }
+}
+
+object CrawlLoop {
+  /** Shared daemon pool for concurrent per-wave job submission. */
+  val waveEc: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutor(
+      java.util.concurrent.Executors.newFixedThreadPool(4, r => {
+        val t = new Thread(r, "wave-io")
+        t.setDaemon(true)
+        t
+      }))
 }
