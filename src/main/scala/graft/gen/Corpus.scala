@@ -19,7 +19,8 @@ object Corpus {
       nPages: Long = 2000,
       nHosts: Int = 20,
       megaShare: Double = 0.3,
-      seed: Long = 42L
+      seed: Long = 42L,
+      bodyBytes: Int = 800 // approximate article body weight (real web ≈ 10-70 KB)
   ) {
     def megaPages: Long = (nPages * megaShare).toLong
     def tailPages: Long = nPages - megaPages
@@ -127,6 +128,23 @@ object Corpus {
         val prev = linkTo(h, nj(13))
         val cross = linkTo(crossH, nj(17))
         val trap = s"http://$host/t/a/b/a/b/a/b/a/b/x"
+        // filler paragraphs: realistic page weight so extraction cost per
+        // row resembles real web pages; a few contain plain-text URLs (E15)
+        val filler = {
+          val sb = new StringBuilder
+          var p = 0
+          while (sb.length < spec.bodyBytes) {
+            val w = math.abs(mix(spec, i, 1000 + p))
+            sb.append(s"<p>Paragraph $p of article $j discusses topic ${w % 97} ")
+              .append("with considerable detail and several sentences of prose that ")
+              .append(s"resemble the shape of real web text, token${w % 1013} ")
+            if (p % 7 == 3)
+              sb.append(s"citing http://${hostName(((w % (spec.nHosts - 1)) + 1).toInt)}/p/${(w >>> 8) % 50} inline ")
+            sb.append("before wrapping up the thought.</p>\n")
+            p += 1
+          }
+          sb.toString
+        }
         val body =
           s"""<html><head><meta charset="utf-8"></head><body>
              |<h2>Article $j on $host</h2>
@@ -136,6 +154,7 @@ object Corpus {
              |<a href="javascript:void(0)">menu</a>
              |<img src="/img/${(j % 29) / 29 * 29 + 11}.png" data-src="/img/40.png">
              |<p>Article body $j. See also http://${hostName(crossH)}/ and mailto:x@$host.</p>
+             |$filler
              |</body></html>""".stripMargin
         (body, s"Article $j on $host. See also http://${hostName(crossH)}/ plain text.",
           if (h == 1 && j % 5 == 2) 429 else if (h == 2 && j % 3 == 1) 500 else 200,
@@ -190,7 +209,11 @@ object Corpus {
       h -> rs.map(r => (r.path_prefix, r.allow))
     }
 
-  /** Generate and write pages + fetch_meta + robots parquet under dir. */
+  /** Generate and write pages + fetch_meta + robots parquet under dir,
+    * plus the pre-merged `web` table (pages ⋈ fetch_meta on url) that the
+    * crawl loop fetches against — merged once at ingest so each wave
+    * shuffles the corpus zero times.
+    */
   def write(spark: SparkSession, dir: String, spec: Spec): Unit = {
     import spark.implicits._
     val specB = spark.sparkContext.broadcast(spec)
@@ -198,6 +221,12 @@ object Corpus {
     both.map(_._1).write.mode("overwrite").parquet(s"$dir/pages")
     both.map(_._2).write.mode("overwrite").parquet(s"$dir/fetch_meta")
     robots(spec).toDS().write.mode("overwrite").parquet(s"$dir/robots")
+    both.map { case (p, m) =>
+      (p.url, p.warc_ts, p.html, p.text, p.lang,
+        m.status_code, m.content_type, m.server, m.link_header, m.location)
+    }.toDF("url", "warc_ts", "html", "text", "lang",
+        "status_code", "content_type", "server", "link_header", "location")
+      .write.mode("overwrite").parquet(s"$dir/web")
   }
 
   def pages(spark: SparkSession, dir: String): DataFrame =

@@ -28,8 +28,17 @@ final class CrawlLoop(
   import spark.implicits._
 
   val store = new FrontierStore(workDir)
-  private val pages = spark.read.parquet(s"$corpusDir/pages")
-  private val fetchMeta = spark.read.parquet(s"$corpusDir/fetch_meta")
+  /** The fetch corpus: pre-merged `web` table when present (zero corpus
+    * shuffles per wave), else pages ⋈ fetch_meta joined lazily.
+    */
+  private val web: DataFrame =
+    if (java.nio.file.Files.exists(java.nio.file.Paths.get(s"$corpusDir/web")))
+      spark.read.parquet(s"$corpusDir/web")
+    else {
+      val pages = spark.read.parquet(s"$corpusDir/pages")
+      val meta = spark.read.parquet(s"$corpusDir/fetch_meta")
+      pages.join(meta, Seq("url"), "full_outer")
+    }
 
   /** Seed insertion (S1/S2): canonicalize, filter, build frontier rows,
     * commit snapshot v0. No-op if the store already has snapshots (resume).
@@ -104,6 +113,10 @@ final class CrawlLoop(
     val frontierDf = store.readTable(spark, snap.frontier, FrontierStore.frontierDdl)
     if (snap.frontierRows < 0 && frontierDf.isEmpty) return None
     val seenDf = store.readTable(spark, snap.seen, FrontierStore.seenDdl)
+    // one aggregation of the seen set per wave, shared by claim-time check
+    // and enqueue-time pruning (otherwise each job reshuffles all of seen)
+    val seenAggDf = Wave.seenKinds(seenDf)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val hostDf = store.readTable(spark, snap.hostState, FrontierStore.hostStateDdl)
 
     // partitioned Bloom seen-filter shards (north-star): collect + broadcast
@@ -122,40 +135,41 @@ final class CrawlLoop(
           spark.read.parquet(dir), key = dir))
       } else Some(graft.frontier.BloomShards.Lookup("empty", Map.empty))
 
-    val logs = Wave.run(spark, conf, wave, frontierDf, seenDf, hostDf,
-      pages, fetchMeta, robots, bloomLookup)
+    val logs = Wave.run(spark, conf, wave, frontierDf, seenAggDf, hostDf,
+      web, robots, bloomLookup)
 
     val dirs = Map(
-      "claimed" -> store.newTableDir(wave, "claimed"),
-      "cands" -> store.newTableDir(wave, "cands"),
+      "log" -> store.newTableDir(wave, "log"),
       "frontier" -> store.newTableDir(wave, "frontier"),
       "seen" -> store.newTableDir(wave, "seen"),
       "host_state" -> store.newTableDir(wave, "host_state"),
       "bloom" -> store.newTableDir(wave, "bloom"))
 
-    // phase-1 writes: lineage logs (extraction traverses ONCE — cached)
-    val obsClaimed = new org.apache.spark.sql.Observation(s"claimed-$wave")
-    timed("claimed-write") { logs.claimedLog.observe(obsClaimed,
-      count(lit(1)).as("claimed"),
-      sum(when($"disposition".isin("FETCHED", "REDIRECT"), 1L).otherwise(0L)).as("fetched"),
-      sum(when($"disposition" === "FAILED", 1L).otherwise(0L)).as("failed"),
-      sum(when($"disposition" === "SEEN", 1L).otherwise(0L)).as("seen"))
-      .write.mode("overwrite").parquet(dirs("claimed")) }
-    val obsCands = new org.apache.spark.sql.Observation(s"cands-$wave")
-    timed("cands-write") { logs.candidateLog.observe(obsCands,
-      sum(when($"cand_disposition" =!= "PASS", 1L).otherwise(0L)).as("excluded"),
-      sum(when($"cand_disposition" === "PASS", 1L).otherwise(0L)).as("passed"))
-      .write.mode("overwrite").parquet(dirs("cands")) }
+    // phase-1: ONE lineage-log write (claimed + candidate rows unified) —
+    // the cached extraction is traversed once, in a single job
+    val obsClaimed = new org.apache.spark.sql.Observation(s"log-$wave")
+    val isClaimed = $"row_type" === "claimed"
+    timed("log-write") { logs.unified.observe(obsClaimed,
+      sum(when(isClaimed, 1L).otherwise(0L)).as("claimed"),
+      sum(when(isClaimed && $"disposition".isin("FETCHED", "REDIRECT"), 1L)
+        .otherwise(0L)).as("fetched"),
+      sum(when(isClaimed && $"disposition" === "FAILED", 1L).otherwise(0L)).as("failed"),
+      sum(when(isClaimed && $"disposition" === "SEEN", 1L).otherwise(0L)).as("seen"),
+      sum(when(!isClaimed && $"cand_disposition" =!= "PASS", 1L).otherwise(0L)).as("excluded"),
+      sum(when(!isClaimed && $"cand_disposition" === "PASS", 1L).otherwise(0L)).as("passed"))
+      .write.mode("overwrite").parquet(dirs("log")) }
+    val obsCands = obsClaimed
     logs.cached.unpersist()
 
     // phase-2: rebuild frontier/seen from the written logs. The four
     // downstream jobs are independent given the logs — submit them
     // concurrently (Spark schedules parallel jobs from multiple threads),
     // cutting the serial per-wave tail that hurts scaling efficiency.
-    val claimedLog = spark.read.parquet(dirs("claimed"))
-    val candLog = spark.read.parquet(dirs("cands"))
+    val waveLog = spark.read.parquet(dirs("log"))
+    val claimedLog = waveLog.filter($"row_type" === "claimed")
+    val candLog = waveLog.filter($"row_type" === "cand")
     val (newFrontier, seenAppend) =
-      Wave.finish(spark, conf, wave, frontierDf, seenDf, claimedLog, candLog, bloomLookup)
+      Wave.finish(spark, conf, wave, frontierDf, seenAggDf, claimedLog, candLog, bloomLookup)
 
     import scala.concurrent.{Future, Await, ExecutionContext}
     import scala.concurrent.duration.Duration
@@ -228,6 +242,7 @@ final class CrawlLoop(
         Seq(compacted)
       } else seenPaths0
 
+    seenAggDf.unpersist()
     store.commit(wave, Seq(dirs("frontier")), seenPaths,
       Seq(dirs("host_state")), Nil,
       m(obsFrontier, "rows"), bloomPaths,

@@ -1,0 +1,61 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import graft.conf.ZenoConf
+import graft.gen.Corpus
+import graft.loop.CrawlLoop
+
+/** One timed crawl in a fresh JVM (spawned by graft.Bench) so JIT/GC state
+  * never bleeds between the N-core and 4N-core measurements.
+  * Prints exactly one line: CRAWL_RESULT <work> <secs>
+  *
+  * args: corpusDir cores waves nPages nHosts
+  */
+object CrawlBenchChild {
+  def main(args: Array[String]): Unit = {
+    val Array(corpusDir, coresS, wavesS, nPagesS, nHostsS) = args.take(5)
+    val bodyBytes = if (args.length > 5) args(5).toInt else 12000
+    val seedStep = if (args.length > 6) args(6).toInt else 4
+    val cores = coresS.toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(s"zenospark-bench-child-$cores")
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      .config("spark.sql.files.maxPartitionBytes", "8m")
+      .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val spec = Corpus.Spec(nPages = nPagesS.toLong, nHosts = nHostsS.toInt, bodyBytes = bodyBytes)
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$corpusDir/pages")))
+      Corpus.write(spark, corpusDir, spec)
+
+    // budget 150/host/wave = the reference's token-bucket burst capacity
+    // (rate-limit-capacity 150, cmd/get.go:114)
+    val conf = ZenoConf(maxHops = 4, wavePeriodSeconds = 3.0)
+    val seeds = (0L until spec.nPages by seedStep.toLong).map { i =>
+      val (h, j) = Corpus.locate(i, spec)
+      Corpus.pageUrl(h, j)
+    }
+
+    // in-JVM warmup: one wave on a throwaway store (JIT + page cache)
+    val warmDir = java.nio.file.Files.createTempDirectory("bench-warm").toString
+    val warmLoop = new CrawlLoop(spark, conf, warmDir, corpusDir, Corpus.robotsMap(spec))
+    warmLoop.init(seeds)
+    warmLoop.run(1)
+
+    val work = java.nio.file.Files.createTempDirectory(s"bench-crawl-$cores").toString
+    val loop = new CrawlLoop(spark, conf, work, corpusDir, Corpus.robotsMap(spec))
+    loop.init(seeds)
+    val t0 = System.nanoTime()
+    val counters = loop.run(wavesS.toInt)
+    val secs = (System.nanoTime() - t0) / 1e9
+    val workDone = counters.map(c => c.claimed + c.queued + c.deduped).sum
+    println(f"CRAWL_RESULT $workDone $secs%.3f")
+    spark.stop()
+  }
+}

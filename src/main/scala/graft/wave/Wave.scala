@@ -34,17 +34,34 @@ object Wave {
       claimedLog: DataFrame, // claimed rows + disposition (FETCHED/REDIRECT/FAILED/SEEN)
       candidateLog: DataFrame, // every candidate + disposition + parent lineage
       cached: DataFrame // handle for unpersist after log writes
-  )
+  ) {
+    /** Both logs as ONE union-schema DataFrame (row_type ∈ claimed|cand) —
+      * a single write job traverses the cached extraction once and halves
+      * the per-wave job count.
+      */
+    def unified: DataFrame = {
+      val cCols = claimedLog.columns.toSet
+      val dCols = candidateLog.columns.toSet
+      val all = claimedLog.columns ++ candidateLog.columns.filterNot(cCols.contains)
+      val types = (claimedLog.schema.fields ++ candidateLog.schema.fields)
+        .map(f => f.name -> f.dataType).toMap
+      def widen(df: DataFrame, have: Set[String], rowType: String): DataFrame =
+        df.select(lit(rowType).as("row_type") +:
+          all.map(c => if (have.contains(c)) col(c)
+                       else lit(null).cast(types(c)).as(c)): _*)
+      widen(claimedLog, cCols, "claimed")
+        .unionByName(widen(candidateLog, dCols, "cand"))
+    }
+  }
 
   def run(
       spark: SparkSession,
       conf: ZenoConf,
       wave: Int,
       frontier: DataFrame, // FRESH rows (FrontierStore.frontierDdl)
-      seen: DataFrame, // (url_hash, kind)
+      seenAgg: DataFrame, // pre-aggregated (url_hash, seen_kind) — persist()ed by the loop
       hostState: DataFrame, // penalties
-      pages: DataFrame, // corpus (url, warc_ts, html, text, lang)
-      fetchMeta: DataFrame, // (url, status_code, content_type, server, link_header, location)
+      web: DataFrame, // merged corpus (url, warc_ts, html, text, lang, status_code, content_type, server, link_header, location)
       robots: Map[String, Seq[(String, Boolean)]],
       bloom: Option[graft.frontier.BloomShards.Lookup] = None
   ): WaveLogs = {
@@ -60,22 +77,21 @@ object Wave {
     val penalized = hostState.filter($"penalty_until" > wave).select($"host")
     val eligible = frontier.join(broadcast(penalized), Seq("host"), "left_anti")
 
-    // ---- claim (W1+W2): two-phase per-host top-k, skew-safe ----
+    // ---- claim (W1+W2): per-host top-k in ONE shuffle. Skew safety comes
+    //      from Catalyst's WindowGroupLimit rule (Spark 3.5+): rank<=k
+    //      predicates push a map-side per-group limit below the exchange,
+    //      so a mega-host contributes at most k rows per input partition
+    //      to the shuffle — the salted two-phase top-k built in (visible
+    //      as WindowGroupLimit in the plan; asserted by PlanCheck) ----
     val k = conf.perHostWaveBudget
     val orderCols = Seq($"hops".asc, $"ts".asc, $"url_canon".asc)
-    val phaseA = eligible
-      .withColumn("salt", pmod(xxhash64($"url_canon"), lit(SALTS)))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy($"host", $"salt").orderBy(orderCols: _*)))
-      .filter($"rn" <= k).drop("rn", "salt")
-    val claimed = phaseA
+    val claimed = eligible
       .withColumn("rn", row_number().over(
         Window.partitionBy($"host").orderBy(orderCols: _*)))
       .filter($"rn" <= k).drop("rn")
 
     // ---- seencheck at claim (J3): guards resumed/stale frontiers.
     //      Bloom shards pre-filter: a negative skips the exact join ----
-    val seenAgg = seenKinds(seen)
     val checkKind = when($"kind" === "seed", "seed").otherwise("asset")
     val hashed = claimed
       .withColumn("url_hash", Udfs.fnv64($"url_canon"))
@@ -96,14 +112,14 @@ object Wave {
       case None => exactCheck(hashed)
     }
 
-    // ---- fetch (S11): join the pages corpus + fetch metadata ----
+    // ---- fetch (S11): join the merged web corpus. The claimed side is
+    //      small (bounded by hosts × budget) → broadcast it, so the corpus
+    //      streams scan-side and never shuffles ----
     val fetchable = checked.filter(!$"is_seen")
     val seenRows = checked.filter($"is_seen")
     val fetched = fetchable
-      .join(pages.withColumnRenamed("url", "page_url"),
+      .join(web.withColumnRenamed("url", "page_url"),
         fetchable("url_canon") === col("page_url"), "left")
-      .join(fetchMeta.withColumnRenamed("url", "meta_url"),
-        fetchable("url_canon") === col("meta_url"), "left")
       .withColumn("status_code",
         coalesce($"status_code", when($"page_url".isNotNull, 200)))
       .withColumn("disposition",
@@ -192,7 +208,7 @@ object Wave {
       conf: ZenoConf,
       wave: Int,
       frontier: DataFrame,
-      seen: DataFrame,
+      seenAgg: DataFrame, // pre-aggregated (url_hash, seen_kind)
       claimedLog: DataFrame,
       candidateLog: DataFrame,
       bloom: Option[graft.frontier.BloomShards.Lookup] = None
@@ -239,7 +255,6 @@ object Wave {
     //      + J3 seen-pruning at enqueue, promotion-aware: a URL seen only as
     //      an asset may re-enter as a seed (seencheck.go:110-115).
     //      Bloom-negative rows skip the exact seen join entirely ----
-    val seenAgg = seenKinds(seen)
     val inFrontier = dedupedBatch
       .join(frontier.select($"url_canon"), Seq("url_canon"), "left_anti")
       .withColumn("url_hash", Udfs.fnv64($"url_canon"))

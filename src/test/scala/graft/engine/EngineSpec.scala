@@ -53,7 +53,8 @@ class EngineSpec extends AnyFunSuite {
 
   private def claimedUrls(loop: CrawlLoop, wave: Int): Set[String] = {
     val snap = loop.store.latest.get
-    spark.read.parquet(s"${loop.store.workDir}/data/w${"%05d".format(wave)}-claimed")
+    spark.read.parquet(s"${loop.store.workDir}/data/w${"%05d".format(wave)}-log")
+      .filter(org.apache.spark.sql.functions.col("row_type") === "claimed")
       .select("url_canon").collect().map(_.getString(0)).toSet
   }
 
