@@ -20,9 +20,11 @@ final case class ExtractedLink(link: String, kind: String)
 object Udfs {
 
   /** fnv64a over the canonical URL — the seen-set key (must match Go
-    * hash/fnv: seencheck.go:76-89).
+    * hash/fnv: seencheck.go:76-89). Native Catalyst expression with
+    * codegen (graft.spark.Fnv64a), not a UDF — stays inside whole-stage
+    * codegen and hashes UTF8String bytes without allocation.
     */
-  val fnv64 = udf((s: String) => if (s == null) 0L else Canon.fnv64a(s))
+  def fnv64(c: Column): Column = Fnv64a(c)
 
   /** Full normalization F1+F2+F3: returns (href, host, reject) where
     * exactly one of href/reject is set.

@@ -1,0 +1,49 @@
+package graft.streaming
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Streaming results must equal the equivalent batch aggregation over the
+  * same input (exactly-once file-source semantics).
+  */
+class EventStreamSpec extends AnyFunSuite {
+  private lazy val spark = graft.engine.EngineSpec.spark
+
+  private def eventsDir: String = {
+    val dir = graft.engine.EngineSpec.tmpDir("events")
+    spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  test("windowed counts: streaming equals batch") {
+    val dir = eventsDir
+    val q = EventStream.runOnce(spark, dir, "win_counts", EventStream.windowedCounts)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.sql("SELECT * FROM win_counts")
+    val batch = EventStream.windowedCounts(spark.read.parquet(dir))
+    val s = streamed.collect().map(_.toString).toSet
+    val b = batch.collect().map(_.toString).toSet
+    assert(s.nonEmpty)
+    // append mode emits only watermark-closed windows: the streamed result
+    // is the batch result minus the unclosed tail (within the 10-min
+    // watermark of the max event time)
+    assert(s.subsetOf(b), s"streamed rows must be a subset of batch")
+    assert(s.size >= (b.size * 3) / 4,
+      s"most windows should have closed: ${s.size} of ${b.size}")
+  }
+
+  test("per-user totals in complete mode") {
+    val dir = eventsDir
+    val q = EventStream.runOnce(spark, dir, "user_totals",
+      EventStream.perUserTotals, outputMode = "complete")
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.sql("SELECT * FROM user_totals")
+    val nUsers = spark.read.parquet(dir).select("user_id").distinct().count()
+    assert(streamed.count() == nUsers)
+    assert(streamed.agg(sum(col("n_events"))).first().getLong(0) ==
+      spark.read.parquet(dir).count())
+  }
+}
