@@ -11,7 +11,11 @@ class EventStreamSpec extends AnyFunSuite {
 
   private def eventsDir: String = {
     val dir = graft.engine.EngineSpec.tmpDir("events")
+    // one time-sorted file: the file stream processes it in a single
+    // trigger, so no event is late w.r.t. the watermark and the streaming
+    // result is exactly the batch result
     spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .coalesce(1).sortWithinPartitions("ts")
       .write.mode("overwrite").parquet(dir)
     dir
   }
@@ -23,9 +27,9 @@ class EventStreamSpec extends AnyFunSuite {
     q.stop()
     val streamed = spark.sql("SELECT * FROM win_counts")
     val batch = EventStream.windowedCounts(spark.read.parquet(dir))
-    // compare integer columns only: double sums differ in low bits between
-    // streaming partial aggregation order and batch order
-    val key = Seq("window_start", "event_type", "n")
+    // compare integer columns (epoch seconds for the window; double sums
+    // and timestamp object rendering differ between the two paths)
+    val key = Seq("CAST(window_start AS LONG) AS ws", "event_type", "n")
     val s = streamed.selectExpr(key: _*).collect().map(_.toString).toSet
     val b = batch.selectExpr(key: _*).collect().map(_.toString).toSet
     assert(s.nonEmpty)
@@ -33,8 +37,8 @@ class EventStreamSpec extends AnyFunSuite {
     // is the batch result minus the unclosed tail (within the 10-min
     // watermark of the max event time)
     assert(s.subsetOf(b), s"streamed rows must be a subset of batch")
-    assert(s.size >= (b.size * 3) / 4,
-      s"most windows should have closed: ${s.size} of ${b.size}")
+    assert(s.size >= b.size - 5,
+      s"all but the tail windows must have closed: ${s.size} of ${b.size}")
   }
 
   test("per-user totals in complete mode") {
