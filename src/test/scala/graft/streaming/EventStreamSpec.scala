@@ -29,7 +29,7 @@ class EventStreamSpec extends AnyFunSuite {
     val batch = EventStream.windowedCounts(spark.read.parquet(dir))
     // compare integer columns (epoch seconds for the window; double sums
     // and timestamp object rendering differ between the two paths)
-    val key = Seq("CAST(window_start AS LONG) AS ws", "event_type", "n")
+    val key = Seq("date_format(window_start, 'yyyy-MM-dd HH:mm') AS ws", "event_type", "n")
     val s = streamed.selectExpr(key: _*).collect().map(_.toString).toSet
     val b = batch.selectExpr(key: _*).collect().map(_.toString).toSet
     assert(s.nonEmpty)
