@@ -18,17 +18,17 @@ import graft.spark.Udfs
   *             → next frontier + seen appends.
   *
   * Scale notes (10^10 frontier, 1000 executors):
-  *  - claim is a two-phase top-k: rank within (host, salt) first so a
-  *    mega-host never lands in one partition (skew, SURVEY.md §4), then
-  *    rank the ≤ k·SALTS survivors per host.
-  *  - joins shuffle on url_canon/url_hash; the corpus should be bucketed
-  *    by url at ingest. Robots rules broadcast. AQE re-plans the rest.
+  *  - claim is ONE shuffle keyed by host; skew safety via Catalyst's
+  *    WindowGroupLimit (map-side per-host limit below the exchange), so a
+  *    mega-host contributes ≤ k rows per map partition (SURVEY.md §4).
+  *  - the corpus never shuffles: pages ⋈ fetch_meta pre-merged at ingest,
+  *    the claimed set (bounded by hosts × budget) broadcasts. Dedupe joins
+  *    shuffle on url_canon/url_hash. Robots rules broadcast. AQE re-plans
+  *    the rest.
   *  - the log writes double as checkpoint lineage AND cut re-computation;
   *    nothing collects to the driver except counters.
   */
 object Wave {
-
-  val SALTS = 8
 
   final case class WaveLogs(
       claimedLog: DataFrame, // claimed rows + disposition (FETCHED/REDIRECT/FAILED/SEEN)

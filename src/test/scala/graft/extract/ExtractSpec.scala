@@ -440,10 +440,11 @@ high/video.m3u8"""
       Seq("http://b.com/1", "http://a.com/2"))
   }
 
-  test("golden: wikipedia text loose count = 430") {
+  test("golden: wikipedia text loose count = 430, strict = 433") {
     val body = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
       "/root/reference/internal/pkg/postprocessor/testdata/wikipedia_IA.txt")), "UTF-8")
     assert(TextLinks.extract(body, strict = false).length == 430)
+    assert(TextLinks.extract(body, strict = true).length == 433)
   }
   test("golden: wikidata long-line html loose count = 72") {
     val in = new java.util.zip.GZIPInputStream(new java.io.FileInputStream(
