@@ -96,7 +96,7 @@ object Canon {
       val hostE = canonHost(p.host)
       hostE.flatMap { host =>
         if (host == "localhost" || host == "127.0.0.1") Left(UnsupportedHost)
-        else if (!host.contains(".")) Left(UnsupportedHost)
+        else if (!host.contains(".") && !host.startsWith("[")) Left(UnsupportedHost)
         else {
           val defPort = if (scheme == "http") 80 else 443
           val port = if (p.port == defPort) -1 else p.port
