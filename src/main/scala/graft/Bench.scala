@@ -98,7 +98,7 @@ object Bench {
       val waves = 3
       val lowCores = math.max(2, sys.env.getOrElse("SPARK_GRAFT_BENCH_LOW", "2").toInt)
       val hiCores = lowCores * 4
-      val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
+      val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt // raise for noisier boxes
       // corpus-build pass (untimed; also warms the page cache)
       crawlRun(hiCores, corpusDir, spec, 1)
       // best-of-N per level: this box is a VM with visible CPU steal, so a
