@@ -66,6 +66,22 @@ class E2eScenariosSpec extends AnyFunSuite {
     assert(loop.frontier.count() == 0, "both seeds terminal")
   }
 
+  test("robots: longest-prefix rule wins") {
+    import org.apache.spark.sql.functions.{col, lit}
+    import spark.implicits._
+    val rules = Map("a.com" -> Seq(("/", false), ("/public/", true)))
+    val udf = graft.spark.Udfs.robotsAllow(rules)
+    val got = Seq(
+      ("a.com", "/private/x"), ("a.com", "/public/y"), ("a.com", "/"),
+      ("b.com", "/anything")).toDF("host", "path")
+      .select(col("host"), col("path"), udf(col("host"), col("path")).as("allow"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getBoolean(2)).toMap
+    assert(!got(("a.com", "/private/x")), "blanket disallow")
+    assert(got(("a.com", "/public/y")), "longer allow prefix wins")
+    assert(!got(("a.com", "/")))
+    assert(got(("b.com", "/anything")), "unknown host: allow-all default")
+  }
+
   test("property: dedupe invariant under repartitioning") {
     import spark.implicits._
     val rows = (1 to 500).map(i => (s"http://h${i % 7}.com/p${i % 40}", s"k${i % 3}"))
