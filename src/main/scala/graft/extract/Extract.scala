@@ -44,11 +44,15 @@ object Extract {
 
   def page(p0: PageInput, conf: ZenoConf = ZenoConf.default): ExtractResult = {
     val ct = if (p0.contentType == null) "" else p0.contentType
-    // E6 charset transform: decode raw bytes per BOM/header/meta detection
+    // E6 charset transform — HTML only, like the reference (TransformDocument
+    // runs in the HTML extractors; JSON/XML/CSS read raw bytes as UTF-8)
     val (p, docCharset) =
       if (p0.bodyBytes != null) {
-        val (text, name) = Charsets.decodeBody(p0.bodyBytes, ct)
-        (p0.copy(body = text), name)
+        if (isHtml(ct)) {
+          val (text, name) = Charsets.decodeBody(p0.bodyBytes, ct)
+          (p0.copy(body = text), name)
+        } else
+          (p0.copy(body = new String(p0.bodyBytes, java.nio.charset.StandardCharsets.UTF_8)), "utf-8")
       } else (p0, "utf-8")
     val isSitemap = isXml(ct) && Xml.isSitemap(p.body)
 
