@@ -91,6 +91,10 @@ final class CrawlLoop(
     store.readTable(spark, snap.hostState, FrontierStore.hostStateDdl)
   }
 
+  // first wave of this loop instance checks seen at claim (resume guard);
+  // steady-state waves rely on the enqueue-time pruning invariant
+  private var firstStep = true
+
   private val debugTiming = sys.env.get("SPARK_GRAFT_WAVE_TIMING").contains("1")
   private def timed[T](phase: String)(f: => T): T = {
     if (!debugTiming) f
@@ -136,7 +140,8 @@ final class CrawlLoop(
       } else Some(graft.frontier.BloomShards.Lookup("empty", Map.empty))
 
     val logs = Wave.run(spark, conf, wave, frontierDf, seenAggDf, hostDf,
-      web, robots, bloomLookup)
+      web, robots, bloomLookup, checkSeenAtClaim = firstStep)
+    firstStep = false
 
     val dirs = Map(
       "log" -> store.newTableDir(wave, "log"),

@@ -63,7 +63,8 @@ object Wave {
       hostState: DataFrame, // penalties
       web: DataFrame, // merged corpus (url, warc_ts, html, text, lang, status_code, content_type, server, link_header, location)
       robots: Map[String, Seq[(String, Boolean)]],
-      bloom: Option[graft.frontier.BloomShards.Lookup] = None
+      bloom: Option[graft.frontier.BloomShards.Lookup] = None,
+      checkSeenAtClaim: Boolean = true
   ): WaveLogs = {
     import spark.implicits._
 
@@ -90,7 +91,10 @@ object Wave {
         Window.partitionBy($"host").orderBy(orderCols: _*)))
       .filter($"rn" <= k).drop("rn")
 
-    // ---- seencheck at claim (J3): guards resumed/stale frontiers.
+    // ---- seencheck at claim (J3). In steady state the enqueue-time
+    //      pruning (finish()) guarantees claimed rows were never seen, so
+    //      the check runs only on the FIRST wave after open/resume (stale-
+    //      snapshot guard) — skipping a shuffle+join per steady wave.
     //      Bloom shards pre-filter: a negative skips the exact join ----
     val checkKind = when($"kind" === "seed", "seed").otherwise("asset")
     val hashed = claimed
@@ -102,15 +106,17 @@ object Wave {
         $"seen_kind".isNotNull &&
           !($"seen_kind" === "asset" && $"check_kind" === "seed"))
       .drop("seen_kind")
-    val checked = bloom match {
-      case Some(bl) =>
-        val maybeUdf = udf((b: Int, h: Long) => bl.maybeSeen(b, h))
-        val flagged = hashed.withColumn("maybe", maybeUdf($"host_bucket", $"url_hash"))
-        exactCheck(flagged.filter($"maybe").drop("maybe"))
-          .unionByName(flagged.filter(!$"maybe").drop("maybe")
-            .withColumn("is_seen", lit(false)))
-      case None => exactCheck(hashed)
-    }
+    val checked =
+      if (!checkSeenAtClaim) hashed.withColumn("is_seen", lit(false))
+      else bloom match {
+        case Some(bl) =>
+          val maybeUdf = udf((b: Int, h: Long) => bl.maybeSeen(b, h))
+          val flagged = hashed.withColumn("maybe", maybeUdf($"host_bucket", $"url_hash"))
+          exactCheck(flagged.filter($"maybe").drop("maybe"))
+            .unionByName(flagged.filter(!$"maybe").drop("maybe")
+              .withColumn("is_seen", lit(false)))
+        case None => exactCheck(hashed)
+      }
 
     // ---- fetch (S11): join the merged web corpus. The claimed side is
     //      small (bounded by hosts × budget) → broadcast it, so the corpus
