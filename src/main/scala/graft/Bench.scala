@@ -47,6 +47,10 @@ object Bench {
       .filter(a => a.startsWith("--add-opens") || a.startsWith("--add-exports") ||
         a.startsWith("-Xmx") || a.startsWith("-D"))
     val cmd = Seq(javaBin) ++ jvmArgs ++ Seq(
+      // honest N-core-executor emulation: bound the JVM's perceived CPUs
+      // so GC threads / common pools don't silently lend the low-core run
+      // the whole machine
+      s"-XX:ActiveProcessorCount=$cores",
       "-cp", System.getProperty("java.class.path"),
       "graft.tools.CrawlBenchChild",
       corpusDir, cores.toString, waves.toString,

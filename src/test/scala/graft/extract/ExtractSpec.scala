@@ -446,6 +446,20 @@ high/video.m3u8"""
     assert(TextLinks.extract(body, strict = false).length == 430)
     assert(TextLinks.extract(body, strict = true).length == 433)
   }
+  test("golden: byte-identical extracted link list (md5 over the ordered list)") {
+    // the input_hint invariant: extraction from the text column must be
+    // byte-identical run to run and engine to engine — pinned as an md5
+    // over the newline-joined ordered loose-mode link list from the
+    // reference's wikipedia fixture (independently computed)
+    val body = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+      "/root/reference/internal/pkg/postprocessor/testdata/wikipedia_IA.txt")), "UTF-8")
+    val links = TextLinks.extract(body, strict = false)
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(links.mkString("\n").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(md5 == "4bf5e99cf98d7645fbbd7f1a2b3f9b7e", s"md5=$md5")
+  }
+
   test("golden: wikidata long-line html loose count = 72") {
     val in = new java.util.zip.GZIPInputStream(new java.io.FileInputStream(
       "/root/reference/internal/pkg/postprocessor/testdata/Q27536592.html.gz"))
