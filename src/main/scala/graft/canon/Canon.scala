@@ -417,10 +417,51 @@ object Canon {
   }
 
   /** SURT-style host reversal: www.google.com → com.google.www.
+    * Splits host:port first (including [::1]:443), lowercases, trims a
+    * trailing dot, leaves IP literals (v4/v6) unchanged, reverses labels,
+    * then re-appends the port.
     * Reference: /root/reference/internal/pkg/postprocessor/domainscrawl/reversehost.go:11-55.
     */
-  def reverseHost(host: String): String =
-    host.split('.').reverseIterator.mkString(".")
+  def reverseHost(hostport: String): String = {
+    val (host, port) = splitHostPort(hostport)
+    val trimmed = {
+      val lc = host.toLowerCase
+      if (lc.endsWith(".")) lc.dropRight(1) else lc
+    }
+    if (isIpLiteral(trimmed)) {
+      // keep original host casing/brackets, re-join the port
+      if (port.isEmpty) host
+      else if (host.indexOf(':') >= 0) s"[$host]:$port"
+      else s"$host:$port"
+    } else {
+      val rev = trimmed.split('.').reverseIterator.mkString(".")
+      if (port.isEmpty) rev else s"$rev:$port"
+    }
+  }
+
+  /** net.SplitHostPort-style split; on "error" (no port / bare IPv6 /
+    * malformed brackets) the whole input is the host.
+    */
+  private def splitHostPort(s: String): (String, String) = {
+    if (s.startsWith("[")) {
+      val close = s.indexOf(']')
+      if (close > 0 && close + 1 < s.length && s.charAt(close + 1) == ':')
+        (s.substring(1, close), s.substring(close + 2))
+      else (s, "")
+    } else {
+      val first = s.indexOf(':')
+      if (first < 0 || s.indexOf(':', first + 1) >= 0) (s, "") // zero or 2+ colons
+      else (s.substring(0, first), s.substring(first + 1))
+    }
+  }
+
+  private def isIpLiteral(host: String): Boolean = {
+    if (host.indexOf(':') >= 0) return true // IPv6 (bare colons survive the split)
+    val parts = host.split('.')
+    parts.length == 4 && parts.forall { p =>
+      p.nonEmpty && p.length <= 3 && p.forall(_.isDigit) && p.toInt <= 255
+    }
+  }
 
   /** Protocol filter for extracted links (post-extraction drop).
     * Reference: /root/reference/internal/pkg/postprocessor/utils.go:9-30.

@@ -71,9 +71,11 @@ final class DomainsMatcher(patterns: Seq[String]) extends Serializable {
 
   private val exactHosts: Set[String] = domainPats.map(_.toLowerCase).toSet
   // SURT prefixes: matching any subdomain of d ⇔ reversed host starts with
-  // reverse(d) + "."
-  private val surtPrefixes: Array[String] =
-    domainPats.map(d => Canon.reverseHost(d.toLowerCase) + ".").sorted.toArray
+  // reverse(d) + "." at a label boundary — kept as a set probed once per
+  // label of the candidate (exact, O(labels); a sorted-array binary search
+  // can skip a matching parent when sibling subdomain patterns surround it)
+  private val surtPrefixSet: Set[String] =
+    domainPats.map(d => Canon.reverseHost(d.toLowerCase) + ".").toSet
   private val exactUrls: Set[String] = urlPats.toSet
   private val regexes: Array[Regex] = regexPats.map(_.r).toArray
 
@@ -83,18 +85,16 @@ final class DomainsMatcher(patterns: Seq[String]) extends Serializable {
     if (patterns.isEmpty) return false
     val h = host.toLowerCase
     if (exactHosts.contains(h)) return true
-    val surt = Canon.reverseHost(h) + "."
-    // binary-search the sorted prefix array for a prefix of `surt`
-    var lo = 0
-    var hi = surtPrefixes.length - 1
-    while (lo <= hi) {
-      val mid = (lo + hi) >>> 1
-      val p = surtPrefixes(mid)
-      if (surt.startsWith(p)) return true
-      if (surt < p) hi = mid - 1 else lo = mid + 1
+    if (surtPrefixSet.nonEmpty) {
+      // ancestor check: every '.' boundary of the reversed host is a
+      // potential parent-domain pattern (tree.go prefix-lookup semantics)
+      val surt = Canon.reverseHost(h) + "."
+      var i = surt.indexOf('.')
+      while (i >= 0) {
+        if (surtPrefixSet.contains(surt.substring(0, i + 1))) return true
+        i = surt.indexOf('.', i + 1)
+      }
     }
-    // insertion-point neighbor may still be a prefix (shorter string sorts first)
-    if (hi >= 0 && surt.startsWith(surtPrefixes(hi))) return true
     if (exactUrls.contains(href)) return true
     var i = 0
     while (i < regexes.length) {

@@ -67,31 +67,45 @@ object BloomShards {
       .toDF("host_bucket", "bloom")
   }
 
-  /** Closure-friendly lookup over all shards: ships the compact bytes,
-    * deserializes once per task via the transient lazy (and once per
-    * executor via the keyed cache).
+  /** Handle to a committed shard table: the cache key (snapshot paths) +
+    * the shard DataFrame. Nothing collects to the driver — the filter
+    * bytes move executor-to-executor through the co-partitioned join in
+    * [[flagMaybeSeen]].
     */
-  final case class Lookup(key: String, shards: Map[Int, Array[Byte]]) extends Serializable {
-    @transient private lazy val filters: Map[Int, BloomFilter] =
-      Lookup.cache.getOrElseUpdate(key,
-        shards.map { case (k, v) => k -> deserialize(v) })
-    def maybeSeen(bucket: Int, hash: Long): Boolean =
-      filters.get(bucket).exists(_.mightContainLong(hash))
-  }
-  object Lookup {
-    private val cache =
-      scala.collection.concurrent.TrieMap.empty[String, Map[Int, BloomFilter]]
+  final case class Ref(key: String, shards: DataFrame)
+
+  /** Pre-filter candidate rows against the shards WITHOUT a driver collect
+    * or closure shipping: a plain equi-join on host_bucket (shards and
+    * candidates share the key — broadcast at sandbox sizing, a
+    * co-partitioned shuffle of the *candidates only* at 10^10 sizing; the
+    * ~1 MB filter bytes travel the data plane, not the task binary), then
+    * a per-row membership probe that deserializes each shard once per
+    * executor via the keyed cache.
+    *
+    * Adds column `maybe_seen`: false PROVES never-seen (the caller skips
+    * the exact seen lookup for those rows); true falls through to the
+    * exact join — required anyway because the asset→seed promotion rule
+    * (seencheck.go:110-115) needs the stored kind.
+    */
+  def flagMaybeSeen(rows: DataFrame, bloom: Option[Ref]): DataFrame = bloom match {
+    case None => rows.withColumn("maybe_seen", lit(true))
+    case Some(Ref(key, shards)) =>
+      val probe = udf((bucket: Int, hash: Long, bytes: Array[Byte]) =>
+        bytes != null && cachedFilter(key, bucket, bytes).mightContainLong(hash))
+      rows
+        .join(shards.select(col("host_bucket").cast("int").as("host_bucket"),
+          col("bloom").as("__bloom_bytes")), Seq("host_bucket"), "left")
+        .withColumn("maybe_seen",
+          coalesce(probe(col("host_bucket"), col("url_hash"), col("__bloom_bytes")),
+            lit(false)))
+        .drop("__bloom_bytes")
   }
 
-  /** Collect a shard table into a Lookup (shards are ≤ buckets × ~100 KB at
-    * the configured sizing — broadcast-safe; at 10^10 scale shrink fpp
-    * budget or co-partition-join the shard table instead of collecting).
-    */
-  def collectLookup(shards: DataFrame, key: String): Lookup = {
-    val m = shards.collect().map { r =>
-      r.getAs[Int]("host_bucket") -> r.getAs[Array[Byte]]("bloom")
-    }.toMap
-    Lookup(key, m)
+  private val filterCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Int), BloomFilter]
+  private def cachedFilter(key: String, bucket: Int, bytes: Array[Byte]): BloomFilter = {
+    if (filterCache.size > 4096) filterCache.clear() // old snapshots' entries
+    filterCache.getOrElseUpdate((key, bucket), deserialize(bytes))
   }
 
   def serialize(bf: BloomFilter): Array[Byte] = {

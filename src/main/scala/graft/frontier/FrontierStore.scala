@@ -3,6 +3,7 @@ package graft.frontier
 import java.nio.file.{Files, Paths, Path, StandardCopyOption}
 import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 import com.fasterxml.jackson.databind.ObjectMapper
 import com.fasterxml.jackson.databind.node.ObjectNode
 
@@ -18,10 +19,15 @@ import com.fasterxml.jackson.databind.node.ObjectNode
   *    the wave's counters.
   *
   * Table layout per snapshot:
-  *   frontier    — full rewrite per wave (FRESH rows only). At 10^10 scale
-  *                 this maps to Iceberg merge-on-read deletes + appends per
-  *                 host_bucket partition; the manifest API is the seam.
-  *   seen        — append-only file list, compacted when it fragments.
+  *   frontier    — MERGE-ON-READ: base/append data files + per-wave delete
+  *                 files of (url_canon, del_wave) claimed keys. A wave
+  *                 writes ONLY its enqueue delta and its claimed-key delete
+  *                 file — write bytes ∝ wave size, never frontier size.
+  *                 [[readFrontierAt]] reconstructs the live view; folding
+  *                 happens in background-style compaction when the file
+  *                 lists fragment (the Iceberg rewrite_data_files seam).
+  *   seen        — append-only file list; compaction emits the
+  *                 pre-aggregated distinct (url_hash, max kind) form.
   *   host_state  — tiny, full rewrite.
   *   counters    — append-only.
   */
@@ -36,29 +42,39 @@ final class FrontierStore(val workDir: String) {
   final case class Snapshot(
       version: Int,
       wave: Int,
-      frontier: Seq[String],
+      frontier: Seq[String], // base + append data files (live rows ⊇ view)
       seen: Seq[String],
       hostState: Seq[String],
       counters: Seq[String],
-      frontierRows: Long, // row count → auto-finish check without a Spark job
+      frontierRows: Long, // live-view row count → auto-finish without a Spark job
       bloom: Seq[String] = Nil, // Bloom shard table paths
-      waveCounters: Map[String, Long] = Map.empty // this wave's counters (lineage)
+      waveCounters: Map[String, Long] = Map.empty, // this wave's counters (lineage)
+      frontierDeletes: Seq[String] = Nil // merge-on-read delete files
   )
 
+  /** List a directory's file names, closing the stream (long crawl loops
+    * would otherwise leak file descriptors until GC).
+    */
+  private def listNames(dir: Path): Seq[String] = {
+    val s = Files.list(dir)
+    try s.iterator().asScala.map(_.getFileName.toString).toSeq
+    finally s.close()
+  }
+
+  private def versions: Seq[Int] = listNames(snapDir)
+    .filter(n => n.startsWith("v") && n.endsWith(".json"))
+    .map(n => n.stripPrefix("v").stripSuffix(".json").toInt)
+
   def latest: Option[Snapshot] = {
-    val versions = Files.list(snapDir).iterator().asScala
-      .map(_.getFileName.toString)
-      .filter(n => n.startsWith("v") && n.endsWith(".json"))
-      .map(n => n.stripPrefix("v").stripSuffix(".json").toInt)
-      .toSeq
-    if (versions.isEmpty) None
-    else Some(read(versions.max))
+    val vs = versions
+    if (vs.isEmpty) None else Some(read(vs.max))
   }
 
   private def read(version: Int): Snapshot = {
     val node = mapper.readTree(Files.readAllBytes(snapPath(version)))
     def arr(field: String): Seq[String] =
-      node.get(field).elements().asScala.map(_.asText()).toSeq
+      if (node.has(field)) node.get(field).elements().asScala.map(_.asText()).toSeq
+      else Nil
     val waveCounters =
       if (node.has("wave_counters")) {
         val wc = node.get("wave_counters")
@@ -67,18 +83,11 @@ final class FrontierStore(val workDir: String) {
     Snapshot(version, node.get("wave").asInt(), arr("frontier"), arr("seen"),
       arr("host_state"), arr("counters"),
       if (node.has("frontier_rows")) node.get("frontier_rows").asLong() else -1L,
-      if (node.has("bloom")) arr("bloom") else Nil,
-      waveCounters)
+      arr("bloom"), waveCounters, arr("frontier_deletes"))
   }
 
   /** All snapshots in version order (lineage walk). */
-  def history: Seq[Snapshot] = {
-    Files.list(snapDir).iterator().asScala
-      .map(_.getFileName.toString)
-      .filter(n => n.startsWith("v") && n.endsWith(".json"))
-      .map(n => n.stripPrefix("v").stripSuffix(".json").toInt)
-      .toSeq.sorted.map(read)
-  }
+  def history: Seq[Snapshot] = versions.sorted.map(read)
 
   private def snapPath(version: Int): Path =
     snapDir.resolve(f"v$version%05d.json")
@@ -87,7 +96,8 @@ final class FrontierStore(val workDir: String) {
   def commit(wave: Int, frontier: Seq[String], seen: Seq[String],
              hostState: Seq[String], counters: Seq[String],
              frontierRows: Long = -1L, bloom: Seq[String] = Nil,
-             waveCounters: Map[String, Long] = Map.empty): Snapshot = {
+             waveCounters: Map[String, Long] = Map.empty,
+             frontierDeletes: Seq[String] = Nil): Snapshot = {
     val version = latest.map(_.version + 1).getOrElse(0)
     val node: ObjectNode = mapper.createObjectNode()
     node.put("wave", wave)
@@ -98,6 +108,7 @@ final class FrontierStore(val workDir: String) {
       paths.foreach(a.add)
     }
     put("frontier", frontier)
+    put("frontier_deletes", frontierDeletes)
     put("seen", seen)
     put("host_state", hostState)
     put("counters", counters)
@@ -108,7 +119,7 @@ final class FrontierStore(val workDir: String) {
     Files.write(tmp, mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(node))
     Files.move(tmp, snapPath(version), StandardCopyOption.ATOMIC_MOVE)
     Snapshot(version, wave, frontier, seen, hostState, counters, frontierRows,
-      bloom, waveCounters)
+      bloom, waveCounters, frontierDeletes)
   }
 
   /** Fresh parquet output dir for a table at a wave. */
@@ -122,18 +133,49 @@ final class FrontierStore(val workDir: String) {
     else spark.read.schema(org.apache.spark.sql.types.StructType.fromDDL(schemaDdl))
       .parquet(paths: _*)
 
-  /** Drop data dirs not referenced by the latest snapshot (GC). */
-  def vacuum(): Unit = latest.foreach { snap =>
-    val live = (snap.frontier ++ snap.seen ++ snap.hostState ++ snap.counters ++ snap.bloom)
-      .map(p => Paths.get(p).getFileName.toString).toSet
-    Files.list(dataDir).iterator().asScala.toSeq.foreach { p =>
-      if (!live.contains(p.getFileName.toString)) deleteRecursively(p)
+  /** Merge-on-read frontier view: data files minus claimed-key deletes.
+    * A delete (url_canon, del_wave) masks rows enqueued BEFORE del_wave
+    * (ts < del_wave) — so a URL legitimately re-enqueued later (asset→seed
+    * promotion, seencheck.go:110-115) survives its own earlier claim.
+    * The delete side is bounded by the compaction threshold × wave size
+    * and broadcasts; the base never shuffles. At 10^10 scale the same
+    * shape maps to Iceberg positional/equality deletes applied scan-side.
+    */
+  def readFrontierAt(spark: SparkSession, dataPaths: Seq[String],
+                     deletePaths: Seq[String]): DataFrame = {
+    val base = readTable(spark, dataPaths, FrontierStore.frontierDdl)
+    if (deletePaths.isEmpty) base
+    else {
+      val dels = readTable(spark, deletePaths, FrontierStore.frontierDeleteDdl)
+        .groupBy(col("url_canon")).agg(max(col("del_wave")).as("__del_wave"))
+      base.join(broadcast(dels), Seq("url_canon"), "left")
+        .filter(col("__del_wave").isNull || col("ts") >= col("__del_wave"))
+        .drop("__del_wave")
     }
   }
 
+  def readFrontier(spark: SparkSession, snap: Snapshot): DataFrame =
+    readFrontierAt(spark, snap.frontier, snap.frontierDeletes)
+
+  /** Drop data dirs not referenced by the latest snapshot (GC). */
+  def vacuum(): Unit = latest.foreach { snap =>
+    val live = (snap.frontier ++ snap.frontierDeletes ++ snap.seen ++
+      snap.hostState ++ snap.counters ++ snap.bloom)
+      .map(p => Paths.get(p).getFileName.toString).toSet
+    val stale = {
+      val s = Files.list(dataDir)
+      try s.iterator().asScala.toSeq.filterNot(p => live.contains(p.getFileName.toString))
+      finally s.close()
+    }
+    stale.foreach(deleteRecursively)
+  }
+
   private def deleteRecursively(p: Path): Unit = {
-    if (Files.isDirectory(p))
-      Files.list(p).iterator().asScala.toSeq.foreach(deleteRecursively)
+    if (Files.isDirectory(p)) {
+      val s = Files.list(p)
+      val children = try s.iterator().asScala.toSeq finally s.close()
+      children.foreach(deleteRecursively)
+    }
     Files.deleteIfExists(p)
   }
 }
@@ -143,6 +185,7 @@ object FrontierStore {
     "id string, url string, url_canon string, host string, host_bucket int, " +
     "seed_id string, via string, kind string, depth int, hops int, " +
     "redirects int, css_jump int, ts bigint"
+  val frontierDeleteDdl: String = "url_canon string, del_wave bigint"
   val seenDdl: String = "url_hash bigint, kind string, host_bucket int"
   val hostStateDdl: String =
     "host string, refill_rate double, ideal_rate double, penalty_until bigint, failure_count int"

@@ -3,7 +3,7 @@ package graft.loop
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.conf.ZenoConf
-import graft.frontier.FrontierStore
+import graft.frontier.{BloomShards, FrontierStore}
 import graft.model.CounterRow
 import graft.spark.Udfs
 import graft.wave.Wave
@@ -13,10 +13,13 @@ import graft.wave.Wave
   * §2.8; there are no event-time windows in the reference, so Structured
   * Streaming would add machinery without semantics).
   *
-  * Each wave: read latest snapshot → Wave.run → write parquet tables →
-  * atomic manifest commit. Crash/stop between commits loses nothing but
-  * the in-flight wave (Zeno's reset-on-shutdown, lq.go:75-93, for free).
-  * Auto-finish when the frontier is empty (lq/consumer.go:226-261).
+  * Each wave: read latest snapshot → Wave.run → write parquet DELTAS
+  * (enqueue append + claimed-key delete file + seen append) → atomic
+  * manifest commit. Per-wave write bytes are proportional to WAVE size,
+  * not frontier size — the frontier is merge-on-read (FrontierStore) and
+  * only folds during compaction. Crash/stop between commits loses nothing
+  * but the in-flight wave (Zeno's reset-on-shutdown, lq.go:75-93, for
+  * free). Auto-finish when the frontier is empty (lq/consumer.go:226-261).
   */
 final class CrawlLoop(
     spark: SparkSession,
@@ -69,7 +72,7 @@ final class CrawlLoop(
 
   def frontier: DataFrame = {
     val snap = store.latest.getOrElse(sys.error("store not initialized"))
-    store.readTable(spark, snap.frontier, FrontierStore.frontierDdl)
+    store.readFrontier(spark, snap)
   }
   def seen: DataFrame = {
     val snap = store.latest.getOrElse(sys.error("store not initialized"))
@@ -114,38 +117,39 @@ final class CrawlLoop(
     val snap = store.latest.getOrElse(sys.error("store not initialized"))
     val wave = snap.wave + 1
     if (snap.frontierRows == 0) return None
-    val frontierDf = store.readTable(spark, snap.frontier, FrontierStore.frontierDdl)
-    if (snap.frontierRows < 0 && frontierDf.isEmpty) return None
+    val frontierDf = store.readFrontier(spark, snap)
+    val oldRows =
+      if (snap.frontierRows >= 0) snap.frontierRows else frontierDf.count()
+    if (oldRows == 0) return None
+    // raw append-only seen table — never re-aggregated; Wave.seenLookup
+    // streams it scan-side against the broadcast candidate hashes
     val seenDf = store.readTable(spark, snap.seen, FrontierStore.seenDdl)
-    // one aggregation of the seen set per wave, shared by claim-time check
-    // and enqueue-time pruning (otherwise each job reshuffles all of seen)
-    val seenAggDf = Wave.seenKinds(seenDf)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val hostDf = store.readTable(spark, snap.hostState, FrontierStore.hostStateDdl)
 
-    // partitioned Bloom seen-filter shards (north-star): collect + broadcast
-    val bloomLookup: Option[graft.frontier.BloomShards.Lookup] =
+    // partitioned Bloom seen-filter shards (north-star): referenced as a
+    // DataFrame and equi-joined on host_bucket — nothing collects
+    val bloomRef: Option[BloomShards.Ref] =
       if (!conf.useBloomSeenFilter) None
-      else if (snap.bloom.nonEmpty) Some(graft.frontier.BloomShards.collectLookup(
-        store.readTable(spark, snap.bloom, graft.frontier.BloomShards.ShardDdl),
-        key = snap.bloom.mkString(",")))
+      else if (snap.bloom.nonEmpty)
+        Some(BloomShards.Ref(snap.bloom.mkString(","),
+          store.readTable(spark, snap.bloom, BloomShards.ShardDdl)))
       else if (snap.seen.nonEmpty) {
         // resume into a store without shards: rebuild from the full seen set
-        val rebuilt = graft.frontier.BloomShards.build(spark,
+        val rebuilt = BloomShards.build(spark,
           seenDf, conf.bloomExpectedPerShard, conf.bloomFpp)
         val dir = store.newTableDir(wave, "bloom-rebuild")
         rebuilt.write.mode("overwrite").parquet(dir)
-        Some(graft.frontier.BloomShards.collectLookup(
-          spark.read.parquet(dir), key = dir))
-      } else Some(graft.frontier.BloomShards.Lookup("empty", Map.empty))
+        Some(BloomShards.Ref(dir, spark.read.parquet(dir)))
+      } else None // fresh store: nothing seen yet — exact lookup is a no-op
 
-    val logs = Wave.run(spark, conf, wave, frontierDf, seenAggDf, hostDf,
-      web, robots, bloomLookup, checkSeenAtClaim = firstStep)
+    val logs = Wave.run(spark, conf, wave, frontierDf, seenDf, hostDf,
+      web, robots, bloomRef, checkSeenAtClaim = firstStep)
     firstStep = false
 
     val dirs = Map(
       "log" -> store.newTableDir(wave, "log"),
-      "frontier" -> store.newTableDir(wave, "frontier"),
+      "frontier-add" -> store.newTableDir(wave, "frontier-add"),
+      "frontier-del" -> store.newTableDir(wave, "frontier-del"),
       "seen" -> store.newTableDir(wave, "seen"),
       "host_state" -> store.newTableDir(wave, "host_state"),
       "bloom" -> store.newTableDir(wave, "bloom"))
@@ -164,49 +168,53 @@ final class CrawlLoop(
       sum(when(!isClaimed && $"cand_disposition" === "PASS", 1L).otherwise(0L)).as("passed"))
       .write.mode("overwrite").parquet(dirs("log")) }
     val obsCands = obsClaimed
-    logs.cached.unpersist()
+    logs.cached.foreach(_.unpersist())
 
-    // phase-2: rebuild frontier/seen from the written logs. The four
+    // phase-2: enqueue/seen DELTAS from the written logs. The frontier is
+    // never rewritten: this wave contributes an append file (new rows) and
+    // a delete file (claimed keys) — write bytes ∝ wave size. The four
     // downstream jobs are independent given the logs — submit them
     // concurrently (Spark schedules parallel jobs from multiple threads),
     // cutting the serial per-wave tail that hurts scaling efficiency.
     val waveLog = spark.read.parquet(dirs("log"))
     val claimedLog = waveLog.filter($"row_type" === "claimed")
     val candLog = waveLog.filter($"row_type" === "cand")
-    val (newFrontier, seenAppend) =
-      Wave.finish(spark, conf, wave, frontierDf, seenAggDf, claimedLog, candLog, bloomLookup)
+    val fin =
+      Wave.finish(spark, conf, wave, frontierDf, seenDf, claimedLog, candLog, bloomRef)
 
     import scala.concurrent.{Future, Await, ExecutionContext}
     import scala.concurrent.duration.Duration
     implicit val ec: ExecutionContext = CrawlLoop.waveEc
 
-    val obsFrontier = new org.apache.spark.sql.Observation(s"frontier-$wave")
-    val fFrontier = Future { timed("frontier-write") {
-      newFrontier.observe(obsFrontier,
-        count(lit(1)).as("rows"),
-        sum(when($"ts" === wave, 1L).otherwise(0L)).as("queued"))
+    val obsEnq = new org.apache.spark.sql.Observation(s"enqueue-$wave")
+    val fEnqueue = Future { timed("enqueue-write") {
+      fin.enqueued.observe(obsEnq, count(lit(1)).as("queued"))
         .repartition(col("host_bucket"))
-        .write.mode("overwrite").parquet(dirs("frontier")) } }
+        .write.mode("overwrite").parquet(dirs("frontier-add")) } }
+    val fDeletes = Future { timed("delete-write") {
+      claimedLog.select($"url_canon", lit(wave.toLong).as("del_wave"))
+        .coalesce(8)
+        .write.mode("overwrite").parquet(dirs("frontier-del")) } }
     val fSeen = Future { timed("seen-write") {
-      seenAppend.write.mode("overwrite").parquet(dirs("seen")) } }
+      fin.seenAppend.write.mode("overwrite").parquet(dirs("seen")) } }
     val fHost = Future { timed("hoststate-write") {
       Wave.nextHostState(spark, conf, wave, hostDf, claimedLog)
         .write.mode("overwrite").parquet(dirs("host_state")) } }
     Await.result(fSeen, Duration.Inf)
 
     // Bloom shards: merge this wave's hashes in (incremental, per bucket);
-    // runs concurrently with the frontier write + seeds-finished count
+    // runs concurrently with the frontier writes + seeds-finished count
     val fBloom: Future[Seq[String]] = Future {
       if (!conf.useBloomSeenFilter) Nil
       else {
         val oldShards =
           if (snap.bloom.nonEmpty)
-            store.readTable(spark, snap.bloom, graft.frontier.BloomShards.ShardDdl)
+            store.readTable(spark, snap.bloom, BloomShards.ShardDdl)
           else spark.emptyDataFrame
             .withColumn("host_bucket", lit(0))
             .withColumn("bloom", lit(null).cast("binary"))
             .limit(0)
-        timed("bloom-merge") { graft.frontier.BloomShards.merge(spark, oldShards,
+        timed("bloom-merge") { BloomShards.merge(spark, oldShards,
             spark.read.parquet(dirs("seen")),
             conf.bloomExpectedPerShard, conf.bloomFpp)
           .write.mode("overwrite").parquet(dirs("bloom")) }
@@ -214,11 +222,16 @@ final class CrawlLoop(
       }
     }
 
-    // seeds finished: claimed seeds with no remaining frontier rows
-    Await.result(fFrontier, Duration.Inf)
-    val newFrontierDf = spark.read.parquet(dirs("frontier"))
+    Await.result(fEnqueue, Duration.Inf)
+    Await.result(fDeletes, Duration.Inf)
+    fin.cached.foreach(_.unpersist())
+    val dataPaths = snap.frontier :+ dirs("frontier-add")
+    val delPaths = snap.frontierDeletes :+ dirs("frontier-del")
+
+    // seeds finished: claimed seeds with no remaining live frontier row
+    val newFrontierView = store.readFrontierAt(spark, dataPaths, delPaths)
     val finished = timed("seeds-finished") { claimedLog.select($"seed_id").distinct()
-      .join(newFrontierDf.select($"seed_id"), Seq("seed_id"), "left_anti")
+      .join(newFrontierView.select($"seed_id"), Seq("seed_id"), "left_anti")
       .count() }
     val bloomPaths = Await.result(fBloom, Duration.Inf)
     Await.result(fHost, Duration.Inf)
@@ -226,7 +239,10 @@ final class CrawlLoop(
     def m(o: org.apache.spark.sql.Observation, k: String): Long =
       o.get.get(k).collect { case l: Long => l }.getOrElse(0L)
     val claimed = m(obsClaimed, "claimed")
-    val queued = m(obsFrontier, "queued")
+    val queued = m(obsEnq, "queued")
+    // live-row arithmetic: every claimed row leaves the view (claimed ⊆
+    // frontier by construction), every enqueued row enters it
+    val newRows = oldRows - claimed + queued
     val counterRow = CounterRow(wave,
       claimed = claimed,
       fetched = m(obsClaimed, "fetched"),
@@ -237,24 +253,40 @@ final class CrawlLoop(
       queued = queued,
       seeds_finished = finished)
 
-    // seen compaction when fragmented
+    // frontier compaction when the file lists fragment: fold the deletes
+    // into a single rewritten base (the Iceberg rewrite_data_files seam —
+    // at scale this is per-partition and off the wave critical path)
+    val (fPaths, fDelPaths) =
+      if (dataPaths.length + delPaths.length > 16) {
+        val compacted = store.newTableDir(wave, "frontier-compact")
+        timed("frontier-compact") {
+          store.readFrontierAt(spark, dataPaths, delPaths)
+            .repartition(col("host_bucket"))
+            .write.mode("overwrite").parquet(compacted) }
+        (Seq(compacted), Nil: Seq[String])
+      } else (dataPaths, delPaths)
+
+    // seen compaction when fragmented — emits the pre-aggregated distinct
+    // (url_hash, max kind) form so later scans shrink
     val seenPaths0 = snap.seen :+ dirs("seen")
     val seenPaths =
       if (seenPaths0.length > 16) {
         val compacted = store.newTableDir(wave, "seen-compact")
         store.readTable(spark, seenPaths0, FrontierStore.seenDdl)
+          .groupBy($"url_hash", $"host_bucket").agg(max($"kind").as("kind"))
+          .select($"url_hash", $"kind", $"host_bucket")
           .write.mode("overwrite").parquet(compacted)
         Seq(compacted)
       } else seenPaths0
 
-    seenAggDf.unpersist()
-    store.commit(wave, Seq(dirs("frontier")), seenPaths,
+    store.commit(wave, fPaths, seenPaths,
       Seq(dirs("host_state")), Nil,
-      m(obsFrontier, "rows"), bloomPaths,
+      newRows, bloomPaths,
       Map("claimed" -> counterRow.claimed, "fetched" -> counterRow.fetched,
         "failed" -> counterRow.failed, "deduped" -> counterRow.deduped,
         "excluded" -> counterRow.excluded, "queued" -> counterRow.queued,
-        "seeds_finished" -> counterRow.seeds_finished))
+        "seeds_finished" -> counterRow.seeds_finished),
+      frontierDeletes = fDelPaths)
     Some(counterRow)
   }
 

@@ -88,7 +88,9 @@ object Udfs {
           val p = if (path == null) "/" else path
           val matching = hostRules.filter { case (prefix, _) => p.startsWith(prefix) }
           if (matching.isEmpty) true
-          else matching.maxBy(_._1.length)._2
+          // longest prefix wins; on equal length allow beats disallow
+          // (standard robots longest-match tie-break)
+          else matching.maxBy { case (prefix, allow) => (prefix.length, allow) }._2
       }
     })
 

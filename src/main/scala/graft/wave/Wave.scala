@@ -10,21 +10,31 @@ import graft.spark.Udfs
   * phases around the lineage writes so the expensive extraction runs once:
   *
   *   run():    claim (S3/W1/W2: windowed per-host rank) → seencheck (J3:
-  *             hash join vs seen) → fetch (S11: join vs pages corpus) →
-  *             extract (E1-E17: UDF + explode) → canonicalize+filter
-  *             (F1-F9) → robots (J7: broadcast) → two log DataFrames.
+  *             scan-side lookup vs seen) → fetch (S11: corpus ⋈ broadcast
+  *             claimed) → extract (E1-E17: UDF + explode) →
+  *             canonicalize+filter (F1-F9) → robots (J7: broadcast) →
+  *             two log DataFrames.
   *   finish(): from the *written* logs: per-seed dedupe (J1: window) →
   *             batch + frontier + seen dedupe (J2/J3: window + left-anti)
-  *             → next frontier + seen appends.
+  *             → enqueue rows + seen appends.
   *
   * Scale notes (10^10 frontier, 1000 executors):
   *  - claim is ONE shuffle keyed by host; skew safety via Catalyst's
   *    WindowGroupLimit (map-side per-host limit below the exchange), so a
   *    mega-host contributes ≤ k rows per map partition (SURVEY.md §4).
-  *  - the corpus never shuffles: pages ⋈ fetch_meta pre-merged at ingest,
-  *    the claimed set (bounded by hosts × budget) broadcasts. Dedupe joins
-  *    shuffle on url_canon/url_hash. Robots rules broadcast. AQE re-plans
-  *    the rest.
+  *  - the corpus NEVER shuffles: the fetch is an INNER join with the
+  *    claimed set (bounded by hosts × budget) broadcast as the build side,
+  *    so the corpus streams scan-side. Misses (claimed URLs absent from
+  *    the corpus ≙ connection errors) are synthesized by an anti-join of
+  *    the small claimed set against the cached hit keys — a left-outer
+  *    with claimed on the left would force a SortMergeJoin with a
+  *    full-corpus Exchange (BHJ cannot build the outer side).
+  *    WavePlanSpec asserts no Exchange ever sits above the corpus scan.
+  *  - the seen set NEVER shuffles and is never re-aggregated globally: the
+  *    exact check is seen ⋈ broadcast(candidate hashes) INNER (seen
+  *    streams scan-side, column-pruned to url_hash/kind), aggregated to a
+  *    tiny (url_hash, max kind) lookup that broadcasts back to the
+  *    candidates. Bloom shards pre-shrink the candidate hash set.
   *  - the log writes double as checkpoint lineage AND cut re-computation;
   *    nothing collects to the driver except counters.
   */
@@ -33,7 +43,7 @@ object Wave {
   final case class WaveLogs(
       claimedLog: DataFrame, // claimed rows + disposition (FETCHED/REDIRECT/FAILED/SEEN)
       candidateLog: DataFrame, // every candidate + disposition + parent lineage
-      cached: DataFrame // handle for unpersist after log writes
+      cached: Seq[DataFrame] // handles for unpersist after log writes
   ) {
     /** Both logs as ONE union-schema DataFrame (row_type ∈ claimed|cand) —
       * a single write job traverses the cached extraction once and halves
@@ -54,16 +64,37 @@ object Wave {
     }
   }
 
+  /** Phase-2 output: rows to enqueue (J1/J2/J3-deduped) + seen appends. */
+  final case class FinishResult(
+      enqueued: DataFrame, // new frontier rows (append delta, NOT a rewrite)
+      seenAppend: DataFrame,
+      cached: Seq[DataFrame]
+  )
+
+  /** Exact seen lookup WITHOUT shuffling or re-aggregating the seen set:
+    * seen streams scan-side (column-pruned to url_hash/kind) through an
+    * inner/semi join against the broadcast candidate hashes; only the
+    * matches — bounded by |keys| — are aggregated to (url_hash, max kind).
+    * The result is small enough to broadcast back to the candidates.
+    * Max-kind realizes the asset→seed promotion rule: "seed" > "redirect"
+    * > "asset" lexically, matching seencheck.go:110-115.
+    */
+  def seenLookup(seen: DataFrame, keys: DataFrame): DataFrame =
+    seen
+      .join(broadcast(keys.select(col("url_hash")).distinct()),
+        Seq("url_hash"), "left_semi")
+      .groupBy(col("url_hash")).agg(max(col("kind")).as("seen_kind"))
+
   def run(
       spark: SparkSession,
       conf: ZenoConf,
       wave: Int,
-      frontier: DataFrame, // FRESH rows (FrontierStore.frontierDdl)
-      seenAgg: DataFrame, // pre-aggregated (url_hash, seen_kind) — persist()ed by the loop
+      frontier: DataFrame, // FRESH rows (merge-on-read view)
+      seen: DataFrame, // raw append-only (url_hash, kind, host_bucket)
       hostState: DataFrame, // penalties
       web: DataFrame, // merged corpus (url, warc_ts, html, text, lang, status_code, content_type, server, link_header, location)
       robots: Map[String, Seq[(String, Boolean)]],
-      bloom: Option[graft.frontier.BloomShards.Lookup] = None,
+      bloom: Option[graft.frontier.BloomShards.Ref] = None,
       checkSeenAtClaim: Boolean = true
   ): WaveLogs = {
     import spark.implicits._
@@ -94,59 +125,61 @@ object Wave {
     // ---- seencheck at claim (J3). In steady state the enqueue-time
     //      pruning (finish()) guarantees claimed rows were never seen, so
     //      the check runs only on the FIRST wave after open/resume (stale-
-    //      snapshot guard) — skipping a shuffle+join per steady wave.
-    //      Bloom shards pre-filter: a negative skips the exact join ----
+    //      snapshot guard). Bloom shards pre-shrink the lookup key set;
+    //      bloom-negatives simply miss the broadcast lookup (null kind) ----
     val checkKind = when($"kind" === "seed", "seed").otherwise("asset")
     val hashed = claimed
       .withColumn("url_hash", Udfs.fnv64($"url_canon"))
       .withColumn("check_kind", checkKind)
-    def exactCheck(df: DataFrame): DataFrame = df
-      .join(seenAgg, Seq("url_hash"), "left")
-      .withColumn("is_seen",
-        $"seen_kind".isNotNull &&
-          !($"seen_kind" === "asset" && $"check_kind" === "seed"))
-      .drop("seen_kind")
+      // claimed is small (hosts × budget) and feeds 3+ branches (broadcast
+      // build, miss anti-join, seen check) — cache it once
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val checked =
       if (!checkSeenAtClaim) hashed.withColumn("is_seen", lit(false))
-      else bloom match {
-        case Some(bl) =>
-          val maybeUdf = udf((b: Int, h: Long) => bl.maybeSeen(b, h))
-          val flagged = hashed.withColumn("maybe", maybeUdf($"host_bucket", $"url_hash"))
-          exactCheck(flagged.filter($"maybe").drop("maybe"))
-            .unionByName(flagged.filter(!$"maybe").drop("maybe")
-              .withColumn("is_seen", lit(false)))
-        case None => exactCheck(hashed)
+      else {
+        val flagged = graft.frontier.BloomShards.flagMaybeSeen(hashed, bloom)
+        val lookup = seenLookup(seen, flagged.filter($"maybe_seen"))
+        flagged.join(broadcast(lookup), Seq("url_hash"), "left")
+          .withColumn("is_seen",
+            $"seen_kind".isNotNull &&
+              !($"seen_kind" === "asset" && $"check_kind" === "seed"))
+          .drop("seen_kind", "maybe_seen")
       }
 
-    // ---- fetch (S11): join the merged web corpus. The claimed side is
-    //      small (bounded by hosts × budget) → broadcast it, so the corpus
-    //      streams scan-side and never shuffles ----
+    // ---- fetch (S11): INNER join with the claimed set broadcast as the
+    //      build side — the corpus streams scan-side and never shuffles.
+    //      Claimed URLs absent from the corpus (≙ connection errors) are
+    //      recovered by an anti-join against the cached hit keys and
+    //      synthesized as FAILED ----
     val fetchable = checked.filter(!$"is_seen")
     val seenRows = checked.filter($"is_seen")
-    val fetched = fetchable
-      .join(web.withColumnRenamed("url", "page_url"),
-        fetchable("url_canon") === col("page_url"), "left")
-      .withColumn("status_code",
-        coalesce($"status_code", when($"page_url".isNotNull, 200)))
+    val webR = web.withColumnRenamed("url", "page_url")
+    val hits = webR
+      .join(broadcast(fetchable), col("page_url") === fetchable("url_canon"), "inner")
+      .withColumn("status_code", coalesce($"status_code", lit(200)))
       .withColumn("disposition",
-        when($"status_code".isNull, "FAILED") // not in corpus ≙ connection error
-          .when($"status_code" >= 400, "FAILED")
+        when($"status_code" >= 400, "FAILED")
           .when($"status_code" >= 300, "REDIRECT")
           .otherwise("FETCHED"))
 
-    // ---- extraction gates (postprocessor/item.go:72-89, outlinks.go:151-163) ----
+    // ---- extraction gates (postprocessor/item.go:72-89, outlinks.go:151-163).
+    //      Domains-crawl bypasses BOTH gates for every fetched page (the
+    //      reference extracts unconditionally so in-scope outlinks on
+    //      non-matching pages are never missed; the hop budget is then
+    //      enforced at enqueue in finish(), item.go:141-147) ----
     val domainsEnabled = conf.domainsCrawl.nonEmpty
     val doAssets =
-      lit(!conf.disableAssetsCapture) &&
-        ($"depth" - $"redirects") <= 2 && // asset recursion gate
-        $"disposition" === "FETCHED"
+      $"disposition" === "FETCHED" &&
+        (lit(domainsEnabled) || // item.go:77 domainscrawl bypass
+          (lit(!conf.disableAssetsCapture) &&
+            ($"depth" - $"redirects") <= 2)) // asset recursion gate
     val doOutlinks =
-      ($"hops" < conf.maxHops || (lit(domainsEnabled) && domainsUdf($"url_canon", $"host"))) &&
-        $"disposition" === "FETCHED"
+      $"disposition" === "FETCHED" &&
+        (lit(domainsEnabled) || $"hops" < conf.maxHops)
 
-    // E1-E15 dispatch (charset handled inside, E6); cached so the two log
-    // writes traverse it once
-    val extracted = fetched
+    // E1-E15 dispatch (charset handled inside, E6); cached so the hit-key
+    // anti-join and the two log writes traverse it once
+    val extractedHits = hits
       .withColumn("do_assets", doAssets)
       .withColumn("do_outlinks", doOutlinks)
       .withColumn("links",
@@ -154,6 +187,23 @@ object Wave {
           $"link_header", $"do_assets", $"do_outlinks"))
       .drop("html", "text")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // misses: claimed − hit keys (both sides small; hit keys read from the
+    // cache — the corpus is never scanned a second time)
+    val missKeys = extractedHits.select($"url_canon")
+    val missesRaw = fetchable.join(missKeys, Seq("url_canon"), "left_anti")
+    val hitTypes = extractedHits.schema.fields.map(f => f.name -> f.dataType).toMap
+    val missCols = missesRaw.columns.toSet
+    val misses = missesRaw.select(extractedHits.columns.map { c =>
+      if (missCols.contains(c)) col(c)
+      else c match {
+        case "disposition" => lit("FAILED").as(c)
+        case "do_assets" | "do_outlinks" => lit(false).as(c)
+        case "links" => array().cast(hitTypes(c)).as(c)
+        case _ => lit(null).cast(hitTypes(c)).as(c)
+      }
+    }: _*)
+    val extracted = extractedHits.unionByName(misses)
 
     val claimedLog = extracted.select(
       $"url_canon", $"host", $"host_bucket", $"seed_id", $"kind", $"depth",
@@ -172,12 +222,12 @@ object Wave {
       $"url_canon".as("parent_canon"), $"seed_id".as("parent_seed"),
       $"depth".as("parent_depth"), $"hops".as("parent_hops"),
       $"redirects".as("parent_redirects"), $"css_jump".as("parent_css_jump"))
-    val linkChildren = extracted
+    val linkChildren = extractedHits
       .select(parentCols :+ explode($"links").as("l"): _*)
       .select($"parent_canon", $"parent_seed", $"parent_depth", $"parent_hops",
         $"parent_redirects", $"parent_css_jump",
         $"l.link".as("raw_link"), $"l.kind".as("link_kind"))
-    val redirectChildren = extracted
+    val redirectChildren = extractedHits
       .filter($"disposition" === "REDIRECT" && $"location".isNotNull &&
         length($"location") > 0 && $"redirects" < conf.maxRedirect)
       .select(parentCols :+ $"location".as("raw_link"): _*)
@@ -203,27 +253,35 @@ object Wave {
         .otherwise("PASS"))
       .drop("canon_reject")
 
-    WaveLogs(claimedLog, candidateLog, extracted)
+    WaveLogs(claimedLog, candidateLog, Seq(hashed, extractedHits))
   }
 
   /** Phase 2, reading the *written* logs: new-row construction, J1/J2/J3
-    * dedupe, frontier rebuild, seen appends.
+    * dedupe. Returns the enqueue DELTA — the caller appends it (plus the
+    * claimed-key delete file) instead of rewriting the frontier.
     */
   def finish(
       spark: SparkSession,
       conf: ZenoConf,
       wave: Int,
-      frontier: DataFrame,
-      seenAgg: DataFrame, // pre-aggregated (url_hash, seen_kind)
+      frontier: DataFrame, // merge-on-read view (for the J2 anti-join)
+      seen: DataFrame, // raw append-only (url_hash, kind, host_bucket)
       claimedLog: DataFrame,
       candidateLog: DataFrame,
-      bloom: Option[graft.frontier.BloomShards.Lookup] = None
-  ): (DataFrame, DataFrame) = {
+      bloom: Option[graft.frontier.BloomShards.Ref] = None
+  ): FinishResult = {
     import spark.implicits._
     val domainsUdf = Udfs.domainsMatch(conf)
     val domainsEnabled = conf.domainsCrawl.nonEmpty
 
-    val passing = candidateLog.filter($"cand_disposition" === "PASS")
+    // domains-crawl enforces the hop budget at ENQUEUE (extract-then-filter
+    // order, item.go:141-147): non-matching outlinks of a parent already at
+    // the hop limit are dropped; matching ones reset to hop 0 below
+    val passing0 = candidateLog.filter($"cand_disposition" === "PASS")
+    val passing =
+      if (!domainsEnabled) passing0
+      else passing0.filter($"link_kind" =!= "outlink" ||
+        domainsUdf($"href", $"chost") || $"parent_hops" < conf.maxHops)
 
     // ---- new-row construction (hop semantics: assets.go:142-153) ----
     val isOutlink = $"link_kind" === "outlink"
@@ -241,8 +299,12 @@ object Wave {
       when(isOutlink, 0).otherwise($"parent_depth" + 1).as("depth"),
       when(isOutlink, when(hopReset, 0).otherwise($"parent_hops" + 1))
         .otherwise($"parent_hops").as("hops"),
+      // cumulative redirect-EDGE count along the chain (resets only at
+      // outlinks, which start a fresh depth-0 item) so that
+      // depth − redirects ≡ GetDepthWithoutRedirections (item.go:196-211)
+      // even when a redirect occurs mid-chain
       when($"link_kind" === "redirect", $"parent_redirects" + 1)
-        .otherwise(lit(0)).as("redirects"),
+        .otherwise(when(isOutlink, 0).otherwise($"parent_redirects")).as("redirects"),
       when($"link_kind" === "atimport", $"parent_css_jump" + 1)
         .otherwise(when(isOutlink, 0).otherwise($"parent_css_jump")).as("css_jump"),
       lit(wave.toLong).as("ts"))
@@ -260,40 +322,30 @@ object Wave {
     // ---- J2 anti-join vs current frontier (UNIQUE(url_canon), schema.sql:9)
     //      + J3 seen-pruning at enqueue, promotion-aware: a URL seen only as
     //      an asset may re-enter as a seed (seencheck.go:110-115).
-    //      Bloom-negative rows skip the exact seen join entirely ----
+    //      Bloom shards shrink the lookup key set; bloom-negative rows miss
+    //      the broadcast lookup (null seen_kind) and pass untouched ----
     val inFrontier = dedupedBatch
       .join(frontier.select($"url_canon"), Seq("url_canon"), "left_anti")
       .withColumn("url_hash", Udfs.fnv64($"url_canon"))
-    def exactPrune(df: DataFrame): DataFrame = df
-      .join(seenAgg, Seq("url_hash"), "left")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val flagged = graft.frontier.BloomShards.flagMaybeSeen(inFrontier, bloom)
+    val lookup = seenLookup(seen, flagged.filter($"maybe_seen"))
+    val unique = flagged
+      .join(broadcast(lookup), Seq("url_hash"), "left")
       .filter($"seen_kind".isNull ||
         ($"seen_kind" === "asset" && $"kind" === "seed"))
-      .drop("seen_kind")
-    val unique = (bloom match {
-      case Some(bl) =>
-        val maybeUdf = udf((b: Int, h: Long) => bl.maybeSeen(b, h))
-        val flagged = inFrontier.withColumn("maybe", maybeUdf($"host_bucket", $"url_hash"))
-        exactPrune(flagged.filter($"maybe").drop("maybe"))
-          .unionByName(flagged.filter(!$"maybe").drop("maybe"))
-      case None => exactPrune(inFrontier)
-    }).drop("url_hash")
-
-    // ---- next frontier = (frontier − claimed) ∪ unique new rows ----
-    val remaining = frontier.join(
-      claimedLog.select($"url_canon"), Seq("url_canon"), "left_anti")
-    val frontierCols = frontier.columns.map(col)
-    val newFrontier = remaining.select(frontierCols: _*)
-      .unionByName(unique.select(frontierCols: _*))
+      .drop("seen_kind", "maybe_seen", "url_hash")
 
     // ---- seen appends: everything processed this wave (seencheck.go:98-108)
     val seenAppend = claimedLog.filter($"disposition" =!= "SEEN")
       .select($"url_hash", $"check_kind".as("kind"), $"host_bucket")
 
-    (newFrontier, seenAppend)
+    FinishResult(unique, seenAppend, Seq(inFrontier))
   }
 
   /** Collapse the append-only seen table to one kind per hash
-    * ("seed" wins — lexically max).
+    * ("seed" wins — lexically max). Used by compaction only — the per-wave
+    * path uses [[seenLookup]] and never re-aggregates the full history.
     */
   def seenKinds(seen: DataFrame): DataFrame =
     seen.groupBy(col("url_hash")).agg(max(col("kind")).as("seen_kind"))

@@ -1,0 +1,95 @@
+package graft.engine
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+import graft.conf.ZenoConf
+import graft.frontier.{BloomShards, FrontierStore}
+import graft.gen.{Corpus, OracleData}
+import graft.loop.CrawlLoop
+import graft.spark.PlanShapes
+import graft.wave.Wave
+
+/** Plan-shape regression tests for the 100-TB invariants:
+  *
+  *  1. the web corpus NEVER shuffles in a wave plan — the fetch is an
+  *     inner join with the claimed set broadcast as the build side
+  *     (Wave.scala run(): hits/misses split). A left-outer regression
+  *     (round-1 bug) reintroduces a full-corpus SortMergeJoin Exchange
+  *     and fails here.
+  *  2. the seen table is consumed scan-side only: the first join-or-
+  *     exchange above its scan is a BroadcastHashJoin (Wave.seenLookup),
+  *     never a shuffle of the seen set itself.
+  *  3. the frontier claim keeps Catalyst's WindowGroupLimit (map-side
+  *     per-host top-k below the exchange) with the merge-on-read view
+  *     (deletes anti-join) underneath.
+  */
+class WavePlanSpec extends AnyFunSuite {
+  import EngineSpec.{spark, tmpDir}
+
+  private val robots = Corpus.robotsMap(OracleData.spec)
+
+  private def corpusUnshuffled(df: DataFrame, what: String): Unit = {
+    val plan = df.queryExecution.executedPlan
+    assert(PlanShapes.flatten(plan).exists(PlanShapes.isScanOf(_, "/web")),
+      s"$what: plan must scan the corpus")
+    val bad = PlanShapes.shufflesAbove(plan, "/web")
+    assert(bad.isEmpty,
+      s"$what: corpus must never shuffle; offending exchanges:\n" +
+        bad.map(_.nodeName).mkString("\n"))
+  }
+
+  test("first wave (seen check at claim): corpus never shuffles") {
+    OracleData.ensure(spark)
+    val work = tmpDir("planspec1")
+    val conf = ZenoConf(maxHops = 2)
+    val loop = new CrawlLoop(spark, conf, work, OracleData.Dir, robots)
+    loop.init((0 until 10).map(h => Corpus.urlOf(h, 0)))
+    val snap = loop.store.latest.get
+    val frontier = loop.store.readFrontier(spark, snap)
+    val seen = loop.store.readTable(spark, snap.seen, FrontierStore.seenDdl)
+    val host = loop.store.readTable(spark, snap.hostState, FrontierStore.hostStateDdl)
+    val web = spark.read.parquet(s"${OracleData.Dir}/web")
+    val logs = Wave.run(spark, conf, 1, frontier, seen, host, web, robots,
+      None, checkSeenAtClaim = true)
+    corpusUnshuffled(logs.unified, "wave-1 unified log")
+    logs.cached.foreach(_.unpersist())
+  }
+
+  test("steady-state wave with bloom + MOR deletes: corpus and seen plan shapes") {
+    OracleData.ensure(spark)
+    val work = tmpDir("planspec2")
+    val conf = ZenoConf(maxHops = 2)
+    val loop = new CrawlLoop(spark, conf, work, OracleData.Dir, robots)
+    loop.init((0 until 10).map(h => Corpus.urlOf(h, 0)))
+    assert(loop.run(2).size == 2)
+
+    val snap = loop.store.latest.get
+    assert(snap.frontierDeletes.nonEmpty, "MOR delete files must accumulate")
+    val frontier = loop.store.readFrontier(spark, snap)
+    val seen = loop.store.readTable(spark, snap.seen, FrontierStore.seenDdl)
+    val host = loop.store.readTable(spark, snap.hostState, FrontierStore.hostStateDdl)
+    val web = spark.read.parquet(s"${OracleData.Dir}/web")
+    val bloom = Some(BloomShards.Ref(snap.bloom.mkString(","),
+      loop.store.readTable(spark, snap.bloom, BloomShards.ShardDdl)))
+
+    val logs = Wave.run(spark, conf, 3, frontier, seen, host, web, robots,
+      bloom, checkSeenAtClaim = false)
+    corpusUnshuffled(logs.unified, "wave-3 unified log")
+    assert(PlanShapes.flatten(logs.unified.queryExecution.executedPlan)
+      .exists(_.nodeName.contains("WindowGroupLimit")),
+      "claim must keep the map-side per-host top-k (WindowGroupLimit)")
+
+    // finish-phase plan: seen reached only through a broadcast join
+    val fin = Wave.finish(spark, conf, 3, frontier, seen,
+      logs.claimedLog, logs.candidateLog, bloom)
+    val finPlan = fin.enqueued.queryExecution.executedPlan
+    PlanShapes.firstJoinOrShuffleAboveScan(finPlan, "-seen") match {
+      case Some(_: BroadcastHashJoinExec) => // seen streams scan-side: OK
+      case Some(other) => fail(
+        s"seen table must be consumed via BroadcastHashJoin, got ${other.nodeName}")
+      case None => fail("finish plan must scan the seen table")
+    }
+    (logs.cached ++ fin.cached).foreach(_.unpersist())
+  }
+}
