@@ -71,6 +71,33 @@ object Bench {
     }
   }
 
+  /** Scale-path twins of the fixture-pinned operators: same functions, run
+    * at sfDir size so BENCH keeps measuring them at scale (their
+    * correctness queries run on the committed fixtures for SF-independent
+    * oracle pins).
+    */
+  private val benchOnlyQueries: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] = {
+    import org.apache.spark.sql.functions._
+    def sf(s: SparkSession, dir: String, name: String) =
+      s.read.parquet(s"$dir/$name.parquet")
+    Map(
+      "bench_minhash_sf" -> ((s, dir) =>
+        graft.functions.Dedup.minhashSignatures(sf(s, dir, "documents"), k = 16)),
+      "bench_simhash_sf" -> ((s, dir) =>
+        graft.functions.Dedup.simhash(sf(s, dir, "documents"))),
+      "bench_fingerprints_sf" -> ((s, dir) =>
+        graft.functions.Dedup.fingerprints(sf(s, dir, "documents"))),
+      "bench_ann_lsh_sf" -> ((s, dir) =>
+        graft.functions.Similarity.cosineLshBuckets(sf(s, dir, "embeddings"),
+            nBits = 12, dim = 64)
+          .groupBy(col("lsh_bucket")).agg(count(lit(1)).as("n_vectors"))),
+      "bench_ann_ivf_sf" -> ((s, dir) => {
+        val e = sf(s, dir, "embeddings")
+        graft.functions.Similarity.ivfTopK(e,
+          e.filter(col("vec_id") < 10), k = 5, nCells = 8, nProbe = 3)
+      }))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -81,7 +108,7 @@ object Bench {
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     if (sys.env.getOrElse("SPARK_GRAFT_BENCH_QUERIES", "1") != "0") {
       val spark = newSession(cpus)
-      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      (SparkEntry.queries ++ benchOnlyQueries).toSeq.sortBy(_._1).foreach { case (name, fn) =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
         catch { case _: Throwable =>

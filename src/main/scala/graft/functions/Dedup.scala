@@ -61,9 +61,12 @@ object Dedup {
     */
   def minhashSignatures(docs: DataFrame, k: Int = 32, shingleN: Int = 2): DataFrame = {
     val sh = shingles(docs, shingleN)
-    // permutation i = xxhash64(gram, i) — ANSI-safe (no wrapping arithmetic),
-    // independent hash families by seed column
-    val aggs = (0 until k).map(i => min(xxhash64(col("gram"), lit(i))).as(s"m$i"))
+    // permutation i = xxhash64("i:" + gram) — ANSI-safe (no wrapping
+    // arithmetic), independent hash families by seed prefix; the
+    // single-string form is reproducible by the plain-Scala oracle
+    // implementation (graft.gen.RefImpl.minhashSig)
+    val aggs = (0 until k).map(i =>
+      min(xxhash64(concat(lit(s"$i:"), col("gram")))).as(s"m$i"))
     sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
       .select(col("doc_id"), array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
   }

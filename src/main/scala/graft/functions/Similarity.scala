@@ -77,17 +77,17 @@ object Similarity {
   }
 
   /** Random-hyperplane LSH buckets for cosine: sign-bit signature of nBits
-    * pseudo-random hyperplanes (deterministic from dimension index hash).
+    * pseudo-random hyperplanes. The ±1 hyperplane weights are deterministic
+    * (parity of xxh64("b:d")) and PRECOMPUTED driver-side as literal
+    * arrays — the projection is a single zip_with/aggregate per bit over
+    * constants, instead of re-hashing row×dim×bit at runtime.
     */
-  def cosineLshBuckets(embeddings: DataFrame, nBits: Int = 16): DataFrame = {
-    // hyperplane b, dim d weight = hash-based ±1 — computed with built-ins
+  def cosineLshBuckets(embeddings: DataFrame, nBits: Int = 16, dim: Int = 64): DataFrame = {
     val sigBits = (0 until nBits).map { b =>
+      val weights = array((0 until dim).map(d =>
+        lit(graft.gen.RefImpl.lshWeight(b, d))): _*)
       val proj = aggregate(
-        zip_with(col("embedding"),
-          transform(sequence(lit(0), size(col("embedding")) - 1),
-            d => when(pmod(xxhash64(concat_ws(":", lit(b), d)), lit(2)) === 0, 1.0d)
-              .otherwise(-1.0d)),
-          (x, w) => x * w),
+        zip_with(col("embedding"), weights, (x, w) => x * w),
         lit(0.0d), (acc, v) => acc + v)
       when(proj > 0, shiftleft(lit(1L), b)).otherwise(0L)
     }

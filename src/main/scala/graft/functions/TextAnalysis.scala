@@ -21,9 +21,12 @@ object TextAnalysis {
   def withTokenCounts(docs: DataFrame, textCol: String = "text"): DataFrame = {
     docs
       .withColumn("ws_tokens", size(split(col(textCol), " ", -1)))
+      // maximal alphanumeric runs + maximal non-alnum-non-space runs — the
+      // lookahead-free form is RE2-compatible, so the DuckDB oracle can run
+      // the byte-identical regex
       .withColumn("bpe_ish_tokens",
-        size(filter(split(col(textCol), "(?<=[a-zA-Z0-9])(?=[^a-zA-Z0-9])|(?<=[^a-zA-Z0-9])(?=[a-zA-Z0-9])|\\s+", -1),
-          t => length(t) > 0)))
+        size(regexp_extract_all(col(textCol),
+          lit("[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]+"), lit(0))))
   }
 
   /** Quality-score features: length, punctuation ratio, stopword ratio,

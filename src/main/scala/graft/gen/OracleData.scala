@@ -70,6 +70,148 @@ object OracleData {
       (0 until 10).flatMap(h => Seq(Corpus.urlOf(h, 0), ""))) :+ "# end"
     java.nio.file.Files.write(java.nio.file.Paths.get(s"$Dir/seeds.txt"),
       seedLines.mkString("\n").getBytes("UTF-8"))
+
+    writeTrainingFixtures(spark)
+    writeExpected(spark)
+  }
+
+  // ---- training-data fixtures: deterministic documents (with exact and
+  // near duplicates) + embeddings, plus EXPECTED outputs of the hash-based
+  // operators computed by the independent plain-Scala implementations in
+  // graft.gen.RefImpl (shared-code-free oracle; see RefImplSpec) ----
+
+  private val vocab = Array("the", "data", "crawl", "web", "spark", "engine",
+    "scale", "fast", "queue", "host", "link", "page", "text", "dedup", "hash",
+    "band", "token", "wave", "fetch", "robot", "index", "shard", "merge",
+    "bloom", "delta")
+  val nDocs = 240
+  val embDim = 16
+  val nVecs = 160
+
+  private def rawText(i: Long): String = {
+    val len = 8 + (i % 24)
+    (0L until len).map(j =>
+      vocab((((i + 1) * 31 + j * 7 + i * j) % vocab.length).toInt)).mkString(" ")
+  }
+  def docText(i: Long): String =
+    if (i % 9 == 4 && i > 0) rawText(i - 1) // exact duplicate of i-1
+    else if (i % 9 == 7 && i > 0) { // near-duplicate: last word swapped
+      val w = rawText(i - 1).split(" ", -1)
+      (w.dropRight(1) :+ vocab((i % vocab.length).toInt)).mkString(" ")
+    } else rawText(i)
+
+  def embVal(v: Long, d: Int): Float =
+    (((v * 1315423911L + d * 2654435761L + 12345L) % 2001L) - 1000L) / 1000.0f
+
+  private def writeTrainingFixtures(spark: SparkSession): Unit = {
+    import spark.implicits._
+    (0 until nDocs).map(i => (i.toLong, docText(i.toLong)))
+      .toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(s"$Dir/documents")
+    (0 until nVecs)
+      .map(v => (v.toLong, Array.tabulate(embDim)(d => embVal(v.toLong, d))))
+      .toDF("vec_id", "embedding")
+      .coalesce(1).write.mode("overwrite").parquet(s"$Dir/embeddings")
+
+    // media: opaque binary blobs with real magic bytes across the formats
+    // Multimodal.sniffFormat knows, plus short/unknown payloads
+    val magics: Array[Array[Byte]] = Array(
+      Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte, 0x0D, 0x0A, 0x1A, 0x0A),
+      Array(0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 0xE0.toByte),
+      Array('G'.toByte, 'I'.toByte, 'F'.toByte, '8'.toByte, '9'.toByte, 'a'.toByte),
+      Array('R'.toByte, 'I'.toByte, 'F'.toByte, 'F'.toByte, 0x10, 0x00, 0x00, 0x00),
+      Array('I'.toByte, 'D'.toByte, '3'.toByte, 0x04, 0x00),
+      Array[Byte](0x00, 0x00, 0x00, 0x18, 'f'.toByte, 't'.toByte, 'y'.toByte, 'p'.toByte,
+        'i'.toByte, 's'.toByte, 'o'.toByte, 'm'.toByte),
+      Array[Byte](0x3C, 0x68, 0x74, 0x6D, 0x6C)) // '<html' → unknown
+    val media = (0 until 70).map { i =>
+      val magic = magics(i % magics.length)
+      val body = Array.tabulate(16 + (i * 7) % 64)(j => ((i * 31 + j * 13) % 251).toByte)
+      val blob = if (i % 11 == 10) Array[Byte](0x42, 0x43) // < 4 bytes → unknown
+        else magic ++ body
+      (i.toLong, blob)
+    }
+    media.toDF("id", "content")
+      .coalesce(1).write.mode("overwrite").parquet(s"$Dir/media")
+  }
+
+  /** Expected-output tables for queries whose semantics DuckDB cannot
+    * recompute (hash/UDF/engine-level): minhash/simhash/fingerprint/LSH/IVF
+    * come from RefImpl (independent implementation), canon/extract from
+    * direct zero-Spark driver-side calls into graft.canon/graft.extract
+    * (pinning the Spark plumbing), crawl counters from a reference run of
+    * the loop (behavioral regression pin).
+    */
+  private def writeExpected(spark: SparkSession): Unit = {
+    import spark.implicits._
+    val docs = (0 until nDocs).map(i => (i.toLong, docText(i.toLong)))
+    val embs = (0 until nVecs)
+      .map(v => (v.toLong, Array.tabulate(embDim)(d => embVal(v.toLong, d))))
+
+    val K = 16
+    val BANDS = 8
+    docs.map { case (id, t) => (id, RefImpl.minhashSig(t, K).mkString(",")) }
+      .toDF("doc_id", "sig")
+      .coalesce(1).write.mode("overwrite").parquet(s"$Dir/expected_minhash")
+    RefImpl.lshPairs(docs, K, BANDS).toSeq.sorted
+      .toDF("doc_a", "doc_b")
+      .coalesce(1).write.mode("overwrite").parquet(s"$Dir/expected_lsh_pairs")
+    docs.map { case (id, t) => (id, RefImpl.simhash(t)) }
+      .toDF("doc_id", "simhash")
+      .coalesce(1).write.mode("overwrite").parquet(s"$Dir/expected_simhash")
+    docs.flatMap { case (id, t) => RefImpl.fingerprints(t).toSeq.sorted.map((id, _)) }
+      .toDF("doc_id", "fp")
+      .coalesce(1).write.mode("overwrite").parquet(s"$Dir/expected_fingerprints")
+    embs.map { case (_, e) => RefImpl.cosLshBucket(e, 12) }
+      .groupBy(identity).toSeq.map { case (b, xs) => (b, xs.size.toLong) }
+      .toDF("lsh_bucket", "n_vectors")
+      .coalesce(1).write.mode("overwrite").parquet(s"$Dir/expected_ann_lsh")
+    RefImpl.ivfTopK(embs, (0L until 10L).toSeq, k = 5, nCells = 8, nProbe = 3)
+      .toDF("query_id", "neighbor_id", "rank")
+      .coalesce(1).write.mode("overwrite").parquet(s"$Dir/expected_ann_ivf")
+
+    // canon: the frontier url list through graft.canon.Canon directly
+    val canonConf = graft.conf.ZenoConf()
+    (0L until spec.nPages).map { i =>
+      val (h, j) = Corpus.locate(i, spec)
+      Corpus.pageUrl(h, j)
+    }.flatMap { url =>
+      graft.canon.Canon.canonicalize(url, None, canonConf) match {
+        case Right(c) => Some((url, c.href, c.host))
+        case Left(_) => None
+      }
+    }.toDF("url", "href", "host")
+      .coalesce(1).write.mode("overwrite").parquet(s"$Dir/expected_canon")
+
+    // extract: every corpus page through graft.extract.Extract directly
+    val metaByUrl = spark.read.parquet(s"$Dir/fetch_meta").collect()
+      .map(r => r.getAs[String]("url") -> r).toMap
+    val extractConf = graft.conf.ZenoConf(maxHops = 3)
+    spark.read.parquet(s"$Dir/pages").collect().toSeq.flatMap { p =>
+      val url = p.getAs[String]("url")
+      metaByUrl.get(url).toSeq.flatMap { m =>
+        val r = graft.extract.Extract.page(graft.extract.PageInput(url,
+          Option(m.getAs[String]("content_type")).getOrElse(""),
+          Option(m.getAs[String]("server")).getOrElse(""),
+          Option(m.getAs[String]("link_header")).getOrElse(""),
+          Option(p.getAs[String]("text")).getOrElse(""),
+          bodyBytes = p.getAs[Array[Byte]]("html")), extractConf)
+        r.outlinks.map(l => (url, l, "outlink")) ++
+          r.assets.map(l => (url, l, "asset")) ++
+          r.atImports.map(l => (url, l, "atimport"))
+      }
+    }.toDF("url", "link", "kind")
+      .coalesce(1).write.mode("overwrite").parquet(s"$Dir/expected_links")
+
+    // crawl counters: a reference 2-wave run over this corpus
+    val work = java.nio.file.Files.createTempDirectory("oracle-crawl").toString
+    val crawlConf = graft.conf.ZenoConf(maxHops = 2, wavePeriodSeconds = 0.2)
+    val loop = new graft.loop.CrawlLoop(spark, crawlConf, work, Dir,
+      Corpus.robotsMap(spec))
+    loop.init((0 until 10).map(h => Corpus.urlOf(h, 0)))
+    loop.run(2)
+    loop.counters
+      .coalesce(1).write.mode("overwrite").parquet(s"$Dir/expected_crawl_counters")
   }
 
   def table(spark: SparkSession, name: String): DataFrame =
