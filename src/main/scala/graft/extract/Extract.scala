@@ -59,14 +59,25 @@ object Extract {
     // lazily scan HTML once for both paths
     lazy val tags = HtmlScanner.scan(p.body)
 
-    // --- outlink path ---
+    // --- outlink path (first-match chain, outlinks.go:24-31:
+    //     truthsocial ×2 → object-storage → sitemap → HTML → PDF →
+    //     reddit post API; errors are swallowed and the Link-header +
+    //     text scans still run after, like the reference) ---
     var outlinks = Vector.empty[String]
-    if (ObjectStorage.matches(p.server, ct)) {
+    if (SiteSpecific.TruthSocial.isAccountUrl(p.url)) {
+      outlinks ++= SiteSpecific.TruthSocial.accountOutlinks(p.body)
+    } else if (SiteSpecific.TruthSocial.isAccountLookupUrl(p.url)) {
+      outlinks ++= SiteSpecific.TruthSocial.accountLookupOutlinks(p.url)
+    } else if (ObjectStorage.matches(p.server, ct)) {
       outlinks ++= ObjectStorage.extract(p.url, p.server, p.body)
     } else if (isSitemap) {
       outlinks ++= Xml.extractSitemap(p.body)
     } else if (isHtml(ct)) {
       outlinks ++= Html.outlinks(tags, p.url, conf)
+    } else if (Pdf.isPdf(ct)) {
+      outlinks ++= Pdf.outlinks(p.bodyBytes).getOrElse(Nil)
+    } else if (SiteSpecific.Reddit.isPostApiUrl(p.url)) {
+      outlinks ++= SiteSpecific.Reddit.postApiOutlinks(p.body)
     }
     if (p.linkHeader != null && p.linkHeader.nonEmpty)
       outlinks ++= LinkHeader.extract(p.linkHeader)
@@ -77,7 +88,28 @@ object Extract {
     var assets = Vector.empty[String]
     var atImports = Vector.empty[String]
     if (!conf.disableAssetsCapture && !isSitemap && !ObjectStorage.matches(p.server, ct)) {
-      if (isM3u8(ct)) {
+      if (SiteSpecific.Ina.isApiUrl(p.url)) {
+        // INA partner API: media assets from the JSON + the page's HTML
+        // assets (assets.go:35-48)
+        assets ++= SiteSpecific.Ina.apiMediaAssets(p.body)
+        val (a, ai) = Html.assets(tags, p.url, conf)
+        assets ++= a
+        atImports ++= ai
+      } else if (SiteSpecific.TruthSocial.needAssetExtraction(p.url)) {
+        // statuses API → video assets + JSON extraction; post page →
+        // statuses-API asset + HTML assets (truthsocial.go:22-50)
+        if (SiteSpecific.TruthSocial.isStatusesUrl(p.url)) {
+          assets ++= SiteSpecific.TruthSocial.statusVideoAssets(p.body)
+          Json.extract(p.body, conf.strictRegex).foreach { case (a, o) =>
+            assets ++= a; outlinks ++= o
+          }
+        } else {
+          assets ++= SiteSpecific.TruthSocial.postAssets(p.url)
+          val (a, ai) = Html.assets(tags, p.url, conf)
+          assets ++= a
+          atImports ++= ai
+        }
+      } else if (isM3u8(ct)) {
         assets ++= M3u8.extract(p.body)
       } else if (isJson(ct)) {
         Json.extract(p.body, conf.strictRegex).foreach { case (a, o) =>

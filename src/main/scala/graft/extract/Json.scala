@@ -22,7 +22,10 @@ object Json {
     parse(body).map { node =>
       val links = ArrayBuffer.empty[String]
       findUrls(node, links, strict)
-      val (assets, outlinks) = links.partition(Util.hasFileExtension)
+      // asset = has a file extension OR matches a GitHub raw-asset pattern
+      // (json.go:49 — github asset URLs often carry no extension)
+      val (assets, outlinks) = links.partition(l =>
+        Util.hasFileExtension(l) || SiteSpecific.Github.shouldConsiderAsAsset(l))
       (assets.toSeq, outlinks.toSeq)
     }
 

@@ -1,0 +1,220 @@
+package graft.extract
+
+import scala.util.matching.Regex
+
+/** E18: site-specific extractors, mirroring the reference's dispatch
+  * surface:
+  *
+  *  - outlink extractor chain order (first Match wins):
+  *    truthsocial account → truthsocial account-lookup → object-storage →
+  *    sitemap → HTML → PDF → reddit post API
+  *    (/root/reference/internal/pkg/postprocessor/outlinks.go:24-31)
+  *  - asset extractor chain order: INA → truthsocial → M3U8 → JSON → XML →
+  *    HTML → embedded CSS
+  *    (/root/reference/internal/pkg/postprocessor/assets.go:28-98)
+  *  - github raw-asset classifier feeding the JSON extractor's
+  *    asset-vs-outlink split
+  *    (/root/reference/internal/pkg/postprocessor/extractor/json.go:49,
+  *     sitespecific/github/github.go:17-46)
+  */
+object SiteSpecific {
+
+  // ---------- github (sitespecific/github/github.go:17-46) ----------
+  object Github {
+    // user avatars / temporary attachment links / frontend css+js
+    private val assetsDomains: Regex =
+      "(?i)^https://[a-z-]*\\.?(?:githubusercontent|githubassets)\\.com/".r
+    // attachment links shown in the editor
+    private val userAttachments: Regex =
+      "(?i)^https://github\\.com/user-attachments/".r
+    // permanent attachment links
+    private val repoAssets: Regex =
+      "(?i)https://github\\.com/[^/]+/[^/]+/assets/".r
+
+    /** GitHub asset URLs often have no file extension — pattern-classify
+      * them as assets for the JSON extractor's split.
+      */
+    def shouldConsiderAsAsset(u: String): Boolean =
+      u != null && u.contains("github") &&
+        (assetsDomains.findFirstIn(u).isDefined ||
+          userAttachments.findFirstIn(u).isDefined ||
+          repoAssets.findFirstIn(u).isDefined)
+  }
+
+  // ---------- reddit (sitespecific/reddit/api.go:185-230) ----------
+  object Reddit {
+    def isRedditUrl(u: String): Boolean = u != null && u.contains("reddit.com")
+
+    /** Post-API listing (reddit.com/api/info.json?id=t3_…). */
+    def isPostApiUrl(u: String): Boolean =
+      u != null && u.contains("reddit.com/api/info.json?id=t3_")
+
+    /** Outlinks = the post's permalink on www. and old.reddit.com.
+      * Empty on parse failure / no children (the reference errors there).
+      */
+    def postApiOutlinks(body: String): Seq[String] =
+      Json.parse(body).toSeq.flatMap { node =>
+        val children = node.path("data").path("children")
+        if (!children.isArray || children.size == 0) Nil
+        else {
+          val permalink = children.get(0).path("data").path("permalink").asText("")
+          if (permalink.isEmpty) Nil
+          else Seq(s"https://www.reddit.com$permalink", s"https://old.reddit.com$permalink")
+        }
+      }
+  }
+
+  // ---------- truthsocial (sitespecific/truthsocial/*.go) ----------
+  object TruthSocial {
+    private val postUrl: Regex = "^https?://truthsocial\\.com/@[A-Za-z0-9_]+/posts/".r
+    private val postId: Regex = "^https?://truthsocial\\.com/@[A-Za-z0-9_]+/posts/(\\d+)".r
+    private val username: Regex = "^https?://truthsocial\\.com/@([^/]+)".r
+    private val statuses: Regex = "^https?://truthsocial\\.com/api/v1/statuses/\\d+$".r
+    private val accountLookup: Regex =
+      "^https?://truthsocial\\.com/api/v1/accounts/lookup\\?acct=[a-zA-Z0-9]+$".r
+
+    def isPostUrl(u: String): Boolean = postUrl.findFirstIn(u).isDefined
+    def isStatusesUrl(u: String): Boolean = statuses.findFirstIn(u).isDefined
+    def isAccountUrl(u: String): Boolean = username.findFirstIn(u).isDefined
+    def isAccountLookupUrl(u: String): Boolean = accountLookup.findFirstIn(u).isDefined
+    def needAssetExtraction(u: String): Boolean = isStatusesUrl(u) || isPostUrl(u)
+
+    /** statuses API → media_attachments external_video_id → video API
+      * assets (status.go:118-140).
+      */
+    def statusVideoAssets(body: String): Seq[String] =
+      Json.parse(body).toSeq.flatMap { node =>
+        val media = node.path("media_attachments")
+        if (!media.isArray) Nil
+        else (0 until media.size).flatMap { i =>
+          val vid = media.get(i).path("external_video_id").asText("")
+          if (vid.isEmpty) None
+          else Some(s"https://truthsocial.com/api/v1/truth/videos/$vid")
+        }
+      }
+
+    /** @user/posts/ID page → statuses API asset (post.go:9-23). */
+    def postAssets(u: String): Seq[String] =
+      postId.findFirstMatchIn(u).map(m =>
+        s"https://truthsocial.com/api/v1/statuses/${m.group(1)}").toSeq
+
+    /** account JSON → the three statuses-listing API outlinks
+      * (account.go:58-83). Empty when the body is not an account JSON —
+      * the reference errors on parse failure and drops the page's
+      * outlinks entirely; we mirror the observable result (no outlinks).
+      */
+    def accountOutlinks(body: String): Seq[String] =
+      Json.parse(body).toSeq.flatMap { node =>
+        val id = node.path("id").asText("")
+        if (id.isEmpty) Nil
+        else Seq(
+          s"https://truthsocial.com/api/v1/accounts/$id/statuses?exclude_replies=true&only_replies=false&with_muted=true",
+          s"https://truthsocial.com/api/v1/accounts/$id/statuses?pinned=true&only_replies=false&with_muted=true",
+          s"https://truthsocial.com/api/v1/accounts/$id/statuses?with_muted=true&only_media=true")
+      }
+
+    /** Account-lookup extractor, quirk preserved: Match is the lookup API
+      * URL but the username is (re-)extracted with the @-profile regex,
+      * which a lookup URL never matches — so it yields nothing
+      * (account.go:85-107; upstream behavior kept verbatim).
+      */
+    def accountLookupOutlinks(u: String): Seq[String] =
+      username.findFirstMatchIn(u).map(m =>
+        s"https://truthsocial.com/api/v1/accounts/lookup?acct=${m.group(1)}").toSeq
+  }
+
+  // ---------- INA (sitespecific/ina/ina.go:82-202) ----------
+  object Ina {
+    def isApiUrl(u: String): Boolean =
+      u != null && u.contains("apipartner.ina.fr") && !u.contains("playerConfigurations.json")
+
+    /** Media assets from the partner-API JSON: resourceUrl,
+      * resourceThumbnail, player embed, uri (ina.go:179-202). The
+      * network-dependent JWPlayer version probe (ina.go:109-168) is a live
+      * HTTP fetch and stays out of scope like F10.
+      */
+    def apiMediaAssets(body: String): Seq[String] =
+      Json.parse(body).toSeq.flatMap { node =>
+        def s(field: String) = node.path(field).asText("")
+        Seq(s("resourceUrl"), s("resourceThumbnail"),
+          if (s("embedUrl").nonEmpty) "https://player.ina.fr" + s("embedUrl") else "",
+          s("uri")).filter(_.nonEmpty)
+      }
+  }
+}
+
+/** Request decoration (preprocessor sitespecific chain): the reference
+  * mutates outgoing http.Requests with per-site headers/cookies; with no
+  * live HTTP here the decoration is exposed as DATA — the first matching
+  * site's header map — so a fetching integration can apply it verbatim.
+  * Reference: /root/reference/internal/pkg/preprocessor/sitespecific/
+  * sitespecific.go:18-33 (matcher order: npr → reddit → tiktok →
+  * truthsocial status → truthsocial accounts).
+  */
+object RequestPrep {
+
+  final case class Prep(site: String, headers: Map[String, String],
+                        cookies: Map[String, String] = Map.empty)
+
+  private val nprHeaders = Map(
+    "Accept" -> "text/html,application/xhtml+xml,application/xml;q=0.9,*/*;q=0.8",
+    "Accept-Language" -> "fr,fr-FR;q=0.8,en-US;q=0.5,en;q=0.3",
+    "Referer" -> "https://www.npr.org/",
+    "Connection" -> "keep-alive",
+    "Upgrade-Insecure-Requests" -> "1",
+    "Sec-Fetch-Dest" -> "document",
+    "Sec-Fetch-Mode" -> "navigate",
+    "Sec-Fetch-Site" -> "same-origin",
+    "Sec-Fetch-User" -> "?1",
+    "Priority" -> "u=0, i",
+    "Pragma" -> "no-cache",
+    "Cache-Control" -> "no-cache",
+    "TE" -> "trailers")
+
+  private val redditCookies = Map(
+    "eu_cookie_v2" -> "3",
+    "over18" -> "1",
+    "_options" -> "%7B%22pref_quarantine_optin%22%3A%20true%2C%20%22pref_gated_sr_optin%22%3A%20true%7D")
+
+  private val tiktokHeaders = Map(
+    "Authority" -> "www.tiktok.com",
+    "Sec-Ch-Ua" -> "\" Not A;Brand\";v=\"99\", \"Chromium\";v=\"99\", \"Microsoft Edge\";v=\"99\"",
+    "Sec-Ch-Ua-Mobile" -> "?0",
+    "Sec-Ch-Ua-Platform" -> "\"Linux\"",
+    "Dnt" -> "1",
+    "Upgrade-Insecure-Requests" -> "1",
+    "User-Agent" -> "Mozilla/5.0 (X11; Linux x86_64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/99.0.4844.74 Safari/537.36 Edg/99.0.1150.52",
+    "Accept" -> "text/html,application/xhtml+xml,application/xml;q=0.9,image/webp,image/apng,*/*;q=0.8,application/signed-exchange;v=b3;q=0.9",
+    "Sec-Fetch-Site" -> "none",
+    "Sec-Fetch-Mode" -> "navigate",
+    "Sec-Fetch-User" -> "?1",
+    "Sec-Fetch-Dest" -> "document",
+    "Accept-Language" -> "en-US,en;q=0.9,fr;q=0.8")
+
+  private val truthsocialHeaders = Map(
+    "User-Agent" -> "Mozilla/5.0 (X11; Linux x86_64; rv:134.0) Gecko/20100101 Firefox/134.0",
+    "Accept" -> "text/html,application/xhtml+xml,application/xml;q=0.9,*/*;q=0.8",
+    "Accept-Language" -> "en-US;q=0.5,en;q=0.3",
+    "Accept-Encoding" -> "gzip, deflate, br, zstd",
+    "Upgrade-Insecure-Requests" -> "1",
+    "Sec-Fetch-Dest" -> "document",
+    "Sec-Fetch-Mode" -> "navigate",
+    "Sec-Fetch-Site" -> "none",
+    "Sec-Fetch-User" -> "?1",
+    "Connection" -> "keep-alive")
+
+  /** First matching site's decoration, or None (matcher order preserved). */
+  def forUrl(u: String): Option[Prep] = {
+    if (u == null) None
+    else if (u.contains("npr.org/")) Some(Prep("npr", nprHeaders))
+    else if (u.contains("reddit.com")) Some(Prep("reddit", Map.empty, redditCookies))
+    else if (u.contains("tiktok.com/")) Some(Prep("tiktok", tiktokHeaders))
+    else if (SiteSpecific.TruthSocial.isStatusesUrl(u) ||
+      SiteSpecific.TruthSocial.isAccountLookupUrl(u) ||
+      u.matches("^https?://truthsocial\\.com/api/v1/truth/videos/[a-zA-Z0-9]+$"))
+      Some(Prep("truthsocial-status", truthsocialHeaders))
+    else if (u.matches("^https?://truthsocial\\.com/api/v1/accounts/.*"))
+      Some(Prep("truthsocial-accounts", truthsocialHeaders))
+    else None
+  }
+}
