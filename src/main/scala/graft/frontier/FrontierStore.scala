@@ -1,6 +1,6 @@
 package graft.frontier
 
-import java.nio.file.{Files, Paths, Path, StandardCopyOption}
+import java.nio.file.{Files, Paths, Path}
 import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -92,13 +92,17 @@ final class FrontierStore(val workDir: String) {
   private def snapPath(version: Int): Path =
     snapDir.resolve(f"v$version%05d.json")
 
-  /** Atomically commit the next snapshot. */
+  /** Atomically commit the next snapshot. `atVersion` pins the version a
+    * writer computed when it READ the store (the CAS expectation) — by
+    * default the latest+1 at commit time.
+    */
   def commit(wave: Int, frontier: Seq[String], seen: Seq[String],
              hostState: Seq[String], counters: Seq[String],
              frontierRows: Long = -1L, bloom: Seq[String] = Nil,
              waveCounters: Map[String, Long] = Map.empty,
-             frontierDeletes: Seq[String] = Nil): Snapshot = {
-    val version = latest.map(_.version + 1).getOrElse(0)
+             frontierDeletes: Seq[String] = Nil,
+             atVersion: Option[Int] = None): Snapshot = {
+    val version = atVersion.getOrElse(latest.map(_.version + 1).getOrElse(0))
     val node: ObjectNode = mapper.createObjectNode()
     node.put("wave", wave)
     node.put("version", version)
@@ -115,9 +119,17 @@ final class FrontierStore(val workDir: String) {
     put("bloom", bloom)
     val wc = node.putObject("wave_counters")
     waveCounters.foreach { case (k, v) => wc.put(k, v) }
-    val tmp = snapDir.resolve(f".v$version%05d.json.tmp")
+    val tmp = snapDir.resolve(f".v$version%05d.json.tmp-${java.util.UUID.randomUUID()}")
     Files.write(tmp, mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(node))
-    Files.move(tmp, snapPath(version), StandardCopyOption.ATOMIC_MOVE)
+    // optimistic concurrency: link() is atomic fail-if-exists, so of two
+    // writers racing to commit the same version exactly one wins (the
+    // Iceberg snapshot-CAS seam); the loser re-reads latest and retries
+    // its wave against the new snapshot
+    try Files.createLink(snapPath(version), tmp)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new FrontierStore.CommitConflict(version)
+    } finally Files.deleteIfExists(tmp)
     Snapshot(version, wave, frontier, seen, hostState, counters, frontierRows,
       bloom, waveCounters, frontierDeletes)
   }
@@ -181,6 +193,10 @@ final class FrontierStore(val workDir: String) {
 }
 
 object FrontierStore {
+  /** Another writer committed this snapshot version first. */
+  final class CommitConflict(version: Int)
+    extends RuntimeException(s"snapshot v$version already committed by another writer")
+
   val frontierDdl: String =
     "id string, url string, url_canon string, host string, host_bucket int, " +
     "seed_id string, via string, kind string, depth int, hops int, " +

@@ -1,0 +1,139 @@
+package graft.engine
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.frontier.FrontierStore
+import graft.loop.CrawlLoop
+
+/** Protocol-level behaviors called out by the round-1 review:
+  *  - R3 success recovery (refill rate climbs back toward ideal after a
+  *    5xx halving; ratelimiter_test.go:89-199 semantics, wave-discretized)
+  *  - redirect-mid-chain depth parity: cumulative redirect-edge count so
+  *    asset-of-asset extraction keeps working past a redirect
+  *    (GetDepthWithoutRedirections, pkg/models/item.go:196-211)
+  *  - domains-crawl extract-then-filter: hop budget enforced at enqueue
+  *    (item.go:141-147)
+  *  - multi-writer snapshot commits: optimistic concurrency (exactly one
+  *    winner per version) + alternating writers over one store
+  */
+class ProtocolSpec extends AnyFunSuite {
+  import EngineSpec._
+
+  private def claimedUrls(loop: CrawlLoop, wave: Int): Set[String] =
+    spark.read.parquet(s"${loop.store.workDir}/data/w${"%05d".format(wave)}-log")
+      .filter(col("row_type") === "claimed")
+      .select("url_canon").collect().map(_.getString(0)).toSet
+
+  test("R3: refill rate halves on 5xx then recovers 10% toward ideal per good wave") {
+    val corpus = tmpDir("corpus")
+    writeCorpus(corpus, Seq(
+      page("http://a.com/", Seq("http://slow.com/1", "http://slow.com/2")),
+      ("http://slow.com/1", "", "text/html", 500, ""),
+      page("http://slow.com/2", Seq("http://slow.com/3", "http://slow.com/4")),
+      page("http://slow.com/3", Nil),
+      page("http://slow.com/4", Nil)))
+    val loop = new CrawlLoop(spark, testConf, tmpDir("store"), corpus, Map.empty)
+    loop.init(Seq("http://a.com/"))
+    def refill(): Double = loop.hostState.filter(col("host") === "slow.com")
+      .select("refill_rate").collect().headOption.map(_.getDouble(0)).getOrElse(-1.0)
+    loop.run(2) // wave2 claims slow.com/1 (500) + /2 → halved
+    val afterFail = refill()
+    assert(afterFail == 25.0, s"5xx must halve the refill rate, got $afterFail")
+    loop.run(1) // wave3 claims /3,/4 — all succeed → +10% toward ideal (50)
+    val afterRecover = refill()
+    assert(afterRecover == 27.5, s"success must recover 10% toward ideal, got $afterRecover")
+    assert(loop.hostState.filter(col("host") === "slow.com")
+      .select("failure_count").collect().head.getInt(0) == 0,
+      "failure count decays on success")
+  }
+
+  test("redirect mid-chain keeps asset-of-asset extraction (cumulative redirect count)") {
+    val corpus = tmpDir("corpus")
+    writeCorpus(corpus, Seq(
+      // seed → c1.css (asset) → 301 → c1b.css → c2.css (asset of asset,
+      // behind the redirect) → c3.png; with per-child redirect reset the
+      // c2.css page would sit at depth-without-redirections 3 and never
+      // extract c3.png
+      ("http://a.com/", """<html><link rel="stylesheet" href="/c1.css"></html>""",
+        "text/html", 200, ""),
+      ("http://a.com/c1.css", "", "text/css", 301, "http://a.com/c1b.css"),
+      ("http://a.com/c1b.css", "@import url(/c2.css);", "text/css", 200, ""),
+      ("http://a.com/c2.css", "body { background: url(/c3.png); }", "text/css", 200, ""),
+      ("http://a.com/c3.png", "", "image/png", 200, "")))
+    val conf = testConf.copy(disableAssetsCapture = false, maxHops = 1)
+    val loop = new CrawlLoop(spark, conf, tmpDir("store"), corpus, Map.empty)
+    loop.init(Seq("http://a.com/"))
+    loop.run(6)
+    val seenUrls = (1 to 6).flatMap { w =>
+      try claimedUrls(loop, w) catch { case _: Exception => Set.empty[String] }
+    }.toSet
+    assert(seenUrls.contains("http://a.com/c2.css"), "asset behind redirect crawled")
+    assert(seenUrls.contains("http://a.com/c3.png"),
+      "asset-of-asset past a mid-chain redirect must still be extracted")
+  }
+
+  test("domains-crawl enqueue filter: non-matching outlinks dropped at the hop limit") {
+    val corpus = tmpDir("corpus")
+    writeCorpus(corpus, Seq(
+      page("http://other.net/a", Seq("http://other.net/b")),
+      page("http://other.net/b", Seq("http://other.net/c", "http://watched.org/w")),
+      page("http://other.net/c", Nil),
+      page("http://watched.org/w", Nil)))
+    val conf = testConf.copy(maxHops = 1, domainsCrawl = Seq("watched.org"))
+    val loop = new CrawlLoop(spark, conf, tmpDir("store"), corpus, Map.empty)
+    loop.init(Seq("http://other.net/a"))
+    loop.run(2) // wave2 claims b (hops=1=maxHops): extraction bypasses the
+    // gate, the enqueue filter applies the budget per-outlink
+    val rows = loop.frontier.select("url_canon", "hops")
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(rows.contains("http://watched.org/w") && rows("http://watched.org/w") == 0,
+      "matching outlink kept with hop reset")
+    assert(!rows.contains("http://other.net/c"),
+      "non-matching outlink of an at-limit parent dropped at enqueue")
+  }
+
+  test("multi-writer: snapshot commit is first-writer-wins (OCC)") {
+    val dir = tmpDir("occ")
+    val a = new FrontierStore(dir)
+    val b = new FrontierStore(dir)
+    a.commit(0, Nil, Nil, Nil, Nil, 0L)
+    // both writers read latest = v0 and target v1; a links first
+    val winner = a.commit(1, Nil, Nil, Nil, Nil, 1L, atVersion = Some(1))
+    assert(winner.version == 1)
+    intercept[FrontierStore.CommitConflict] {
+      b.commit(1, Nil, Nil, Nil, Nil, 2L, atVersion = Some(1))
+    }
+    // the loser's content must NOT have replaced the winner's
+    assert(b.latest.get.frontierRows == 1L)
+  }
+
+  test("multi-writer: alternating loops over one store equal a single writer") {
+    val corpus = tmpDir("corpus")
+    val pages = (0 until 10).map(i =>
+      page(s"http://h${i % 2}.com/p$i", Seq(s"http://h${(i + 1) % 2}.com/p${(i + 1) % 10}")))
+    writeCorpus(corpus, pages)
+    val seeds = Seq("http://h0.com/p0")
+
+    val storeA = tmpDir("single")
+    val single = new CrawlLoop(spark, testConf, storeA, corpus, Map.empty)
+    single.init(seeds)
+    single.run(4)
+
+    // two independent loop instances alternate waves on the SAME store:
+    // each claim transaction reads the latest committed snapshot, so the
+    // claims are disjoint by construction
+    val storeB = tmpDir("multi")
+    val w1 = new CrawlLoop(spark, testConf, storeB, corpus, Map.empty)
+    val w2 = new CrawlLoop(spark, testConf, storeB, corpus, Map.empty)
+    w1.init(seeds)
+    w1.run(1); w2.run(1); w1.run(1); w2.run(1)
+
+    def state(l: CrawlLoop) = (
+      l.frontier.select("url_canon").collect().map(_.getString(0)).toSet,
+      l.seen.select("url_hash").collect().map(_.getLong(0)).toSet)
+    assert(state(single) == state(w2), "alternating writers ≡ single writer")
+    // and no URL was claimed twice across the two writers
+    val logs = (1 to 4).flatMap(w => claimedUrls(w1, w))
+    assert(logs.size == logs.toSet.size, "claims across writers are disjoint")
+  }
+}
