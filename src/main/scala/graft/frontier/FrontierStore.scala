@@ -49,7 +49,8 @@ final class FrontierStore(val workDir: String) {
       frontierRows: Long, // live-view row count → auto-finish without a Spark job
       bloom: Seq[String] = Nil, // Bloom shard table paths
       waveCounters: Map[String, Long] = Map.empty, // this wave's counters (lineage)
-      frontierDeletes: Seq[String] = Nil // merge-on-read delete files
+      frontierDeletes: Seq[String] = Nil, // merge-on-read delete files
+      seedCounts: Seq[String] = Nil // per-seed live-row count deltas
   )
 
   /** List a directory's file names, closing the stream (long crawl loops
@@ -83,7 +84,7 @@ final class FrontierStore(val workDir: String) {
     Snapshot(version, node.get("wave").asInt(), arr("frontier"), arr("seen"),
       arr("host_state"), arr("counters"),
       if (node.has("frontier_rows")) node.get("frontier_rows").asLong() else -1L,
-      arr("bloom"), waveCounters, arr("frontier_deletes"))
+      arr("bloom"), waveCounters, arr("frontier_deletes"), arr("seed_counts"))
   }
 
   /** All snapshots in version order (lineage walk). */
@@ -101,7 +102,8 @@ final class FrontierStore(val workDir: String) {
              frontierRows: Long = -1L, bloom: Seq[String] = Nil,
              waveCounters: Map[String, Long] = Map.empty,
              frontierDeletes: Seq[String] = Nil,
-             atVersion: Option[Int] = None): Snapshot = {
+             atVersion: Option[Int] = None,
+             seedCounts: Seq[String] = Nil): Snapshot = {
     val version = atVersion.getOrElse(latest.map(_.version + 1).getOrElse(0))
     val node: ObjectNode = mapper.createObjectNode()
     node.put("wave", wave)
@@ -113,6 +115,7 @@ final class FrontierStore(val workDir: String) {
     }
     put("frontier", frontier)
     put("frontier_deletes", frontierDeletes)
+    put("seed_counts", seedCounts)
     put("seen", seen)
     put("host_state", hostState)
     put("counters", counters)
@@ -131,7 +134,7 @@ final class FrontierStore(val workDir: String) {
         throw new FrontierStore.CommitConflict(version)
     } finally Files.deleteIfExists(tmp)
     Snapshot(version, wave, frontier, seen, hostState, counters, frontierRows,
-      bloom, waveCounters, frontierDeletes)
+      bloom, waveCounters, frontierDeletes, seedCounts)
   }
 
   /** Fresh parquet output dir for a table at a wave. */
@@ -172,8 +175,8 @@ final class FrontierStore(val workDir: String) {
   /** Drop data dirs not referenced by the latest snapshot (GC). */
   def vacuum(): Unit = latest.foreach { snap =>
     val live = (snap.frontier ++ snap.frontierDeletes ++ snap.seen ++
-      snap.hostState ++ snap.counters ++ snap.bloom)
-      .map(p => Paths.get(p).getFileName.toString).toSet
+      snap.hostState ++ snap.counters ++ snap.bloom ++ snap.seedCounts)
+      .map(p => dataDir.relativize(Paths.get(p)).getName(0).toString).toSet
     val stale = {
       val s = Files.list(dataDir)
       try s.iterator().asScala.toSeq.filterNot(p => live.contains(p.getFileName.toString))
@@ -202,6 +205,7 @@ object FrontierStore {
     "seed_id string, via string, kind string, depth int, hops int, " +
     "redirects int, css_jump int, ts bigint"
   val frontierDeleteDdl: String = "url_canon string, del_wave bigint"
+  val seedCountDdl: String = "seed_id string, cnt bigint"
   val seenDdl: String = "url_hash bigint, kind string, host_bucket int"
   val hostStateDdl: String =
     "host string, refill_rate double, ideal_rate double, penalty_until bigint, failure_count int"

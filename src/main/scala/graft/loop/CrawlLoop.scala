@@ -66,8 +66,14 @@ final class CrawlLoop(
     val obs = new org.apache.spark.sql.Observation("seed-init")
     rows.observe(obs, count(lit(1)).as("rows"))
       .repartition(col("host_bucket")).write.mode("overwrite").parquet(dir)
+    // per-seed live-row count baseline (+1 per seed row) — incrementally
+    // maintained by wave deltas so seeds-finished never re-scans the frontier
+    val cntDir = store.newTableDir(0, "seedcnt")
+    spark.read.parquet(dir).groupBy($"seed_id").agg(count(lit(1)).as("cnt"))
+      .write.mode("overwrite").parquet(cntDir)
     store.commit(0, Seq(dir), Nil, Nil, Nil,
-      obs.get.getOrElse("rows", 0L).asInstanceOf[Long])
+      obs.get.getOrElse("rows", 0L).asInstanceOf[Long],
+      seedCounts = Seq(cntDir))
   }
 
   def frontier: DataFrame = {
@@ -148,11 +154,7 @@ final class CrawlLoop(
 
     val dirs = Map(
       "log" -> store.newTableDir(wave, "log"),
-      "frontier-add" -> store.newTableDir(wave, "frontier-add"),
-      "frontier-del" -> store.newTableDir(wave, "frontier-del"),
-      "seen" -> store.newTableDir(wave, "seen"),
-      "host_state" -> store.newTableDir(wave, "host_state"),
-      "bloom" -> store.newTableDir(wave, "bloom"))
+      "delta" -> store.newTableDir(wave, "delta"))
 
     // phase-1: ONE lineage-log write (claimed + candidate rows unified) —
     // the cached extraction is traversed once, in a single job
@@ -170,12 +172,14 @@ final class CrawlLoop(
     val obsCands = obsClaimed
     logs.cached.foreach(_.unpersist())
 
-    // phase-2: enqueue/seen DELTAS from the written logs. The frontier is
-    // never rewritten: this wave contributes an append file (new rows) and
-    // a delete file (claimed keys) — write bytes ∝ wave size. The four
-    // downstream jobs are independent given the logs — submit them
-    // concurrently (Spark schedules parallel jobs from multiple threads),
-    // cutting the serial per-wave tail that hurts scaling efficiency.
+    // phase-2: ONE union-schema delta write per wave. The frontier is
+    // never rewritten — the wave contributes row_type-partitioned subsets
+    // (add = enqueue rows, del = claimed keys, seen = processed hashes,
+    // host = rate-limiter state, bloom = merged shards), each referenced
+    // from the manifest as its own table path. Fusing five writes into one
+    // job (plus the concurrent seeds-finished count, derived from lineage,
+    // not a read-back) cuts the per-wave driver-serial floor that caps
+    // N→4N scaling efficiency.
     val waveLog = spark.read.parquet(dirs("log"))
     val claimedLog = waveLog.filter($"row_type" === "claimed")
     val candLog = waveLog.filter($"row_type" === "cand")
@@ -186,26 +190,10 @@ final class CrawlLoop(
     import scala.concurrent.duration.Duration
     implicit val ec: ExecutionContext = CrawlLoop.waveEc
 
-    val obsEnq = new org.apache.spark.sql.Observation(s"enqueue-$wave")
-    val fEnqueue = Future { timed("enqueue-write") {
-      fin.enqueued.observe(obsEnq, count(lit(1)).as("queued"))
-        .repartition(col("host_bucket"))
-        .write.mode("overwrite").parquet(dirs("frontier-add")) } }
-    val fDeletes = Future { timed("delete-write") {
-      claimedLog.select($"url_canon", lit(wave.toLong).as("del_wave"))
-        .coalesce(8)
-        .write.mode("overwrite").parquet(dirs("frontier-del")) } }
-    val fSeen = Future { timed("seen-write") {
-      fin.seenAppend.write.mode("overwrite").parquet(dirs("seen")) } }
-    val fHost = Future { timed("hoststate-write") {
-      Wave.nextHostState(spark, conf, wave, hostDf, claimedLog)
-        .write.mode("overwrite").parquet(dirs("host_state")) } }
-    Await.result(fSeen, Duration.Inf)
-
-    // Bloom shards: merge this wave's hashes in (incremental, per bucket);
-    // runs concurrently with the frontier writes + seeds-finished count
-    val fBloom: Future[Seq[String]] = Future {
-      if (!conf.useBloomSeenFilter) Nil
+    val deletes = claimedLog.select($"url_canon", lit(wave.toLong).as("del_wave"))
+    val hostNext = Wave.nextHostState(spark, conf, wave, hostDf, claimedLog)
+    val bloomNext: Option[DataFrame] =
+      if (!conf.useBloomSeenFilter) None
       else {
         val oldShards =
           if (snap.bloom.nonEmpty)
@@ -214,27 +202,57 @@ final class CrawlLoop(
             .withColumn("host_bucket", lit(0))
             .withColumn("bloom", lit(null).cast("binary"))
             .limit(0)
-        timed("bloom-merge") { BloomShards.merge(spark, oldShards,
-            spark.read.parquet(dirs("seen")),
-            conf.bloomExpectedPerShard, conf.bloomFpp)
-          .write.mode("overwrite").parquet(dirs("bloom")) }
-        Seq(dirs("bloom"))
+        Some(BloomShards.merge(spark, oldShards, fin.seenAppend,
+          conf.bloomExpectedPerShard, conf.bloomFpp))
       }
-    }
+    // per-seed live-row count delta: −1 per claim, +1 per enqueue
+    val seedDelta = claimedLog.groupBy($"seed_id").agg((-count(lit(1))).as("cnt"))
+      .unionByName(fin.enqueued.groupBy($"seed_id").agg(count(lit(1)).as("cnt")))
+    // resume into a store without count history: rebuild the baseline from
+    // the live view once (same seam as the bloom rebuild)
+    val seedCountBase: Seq[String] =
+      if (snap.seedCounts.nonEmpty) snap.seedCounts
+      else {
+        val d = store.newTableDir(wave, "seedcnt-rebuild")
+        frontierDf.groupBy($"seed_id").agg(count(lit(1)).as("cnt"))
+          .write.mode("overwrite").parquet(d)
+        Seq(d)
+      }
+    val delta = CrawlLoop.unionBySchema(
+      Seq("add" -> fin.enqueued, "del" -> deletes, "seen" -> fin.seenAppend,
+        "host" -> hostNext, "seedcnt" -> seedDelta) ++ bloomNext.map("bloom" -> _))
 
-    Await.result(fEnqueue, Duration.Inf)
-    Await.result(fDeletes, Duration.Inf)
+    val obsEnq = new org.apache.spark.sql.Observation(s"delta-$wave")
+    val fDelta = Future { timed("delta-write") {
+      delta.observe(obsEnq,
+          sum(when($"row_type" === "add", 1L).otherwise(0L)).as("queued"))
+        .write.partitionBy("row_type").mode("overwrite").parquet(dirs("delta")) } }
+
+    // seeds finished = claimed seeds whose live-row count (Σ of the
+    // incremental ±1 deltas, including this wave's) reaches 0 — a scan of
+    // the wave-sized count-delta history joined against the broadcast
+    // claimed-seed set; the frontier itself is NOT re-scanned. Runs
+    // concurrently with the delta write.
+    val fSeeds = Future { timed("seeds-finished") {
+      val claimedSeeds = claimedLog.select($"seed_id").distinct()
+      store.readTable(spark, seedCountBase, FrontierStore.seedCountDdl)
+        .unionByName(seedDelta)
+        .join(broadcast(claimedSeeds), Seq("seed_id"), "left_semi")
+        .groupBy($"seed_id").agg(sum($"cnt").as("n"))
+        .filter($"n" <= 0)
+        .count() } }
+
+    Await.result(fDelta, Duration.Inf)
+    val finished = Await.result(fSeeds, Duration.Inf)
     fin.cached.foreach(_.unpersist())
-    val dataPaths = snap.frontier :+ dirs("frontier-add")
-    val delPaths = snap.frontierDeletes :+ dirs("frontier-del")
-
-    // seeds finished: claimed seeds with no remaining live frontier row
-    val newFrontierView = store.readFrontierAt(spark, dataPaths, delPaths)
-    val finished = timed("seeds-finished") { claimedLog.select($"seed_id").distinct()
-      .join(newFrontierView.select($"seed_id"), Seq("seed_id"), "left_anti")
-      .count() }
-    val bloomPaths = Await.result(fBloom, Duration.Inf)
-    Await.result(fHost, Duration.Inf)
+    def sub(rt: String): Seq[String] = {
+      val p = s"${dirs("delta")}/row_type=$rt"
+      if (java.nio.file.Files.exists(java.nio.file.Paths.get(p))) Seq(p) else Nil
+    }
+    val dataPaths = snap.frontier ++ sub("add")
+    val delPaths = snap.frontierDeletes ++ sub("del")
+    val bloomPaths = if (conf.useBloomSeenFilter) sub("bloom") else Nil
+    val hostPaths = if (sub("host").nonEmpty) sub("host") else snap.hostState
 
     def m(o: org.apache.spark.sql.Observation, k: String): Long =
       o.get.get(k).collect { case l: Long => l }.getOrElse(0L)
@@ -268,7 +286,7 @@ final class CrawlLoop(
 
     // seen compaction when fragmented — emits the pre-aggregated distinct
     // (url_hash, max kind) form so later scans shrink
-    val seenPaths0 = snap.seen :+ dirs("seen")
+    val seenPaths0 = snap.seen ++ sub("seen")
     val seenPaths =
       if (seenPaths0.length > 16) {
         val compacted = store.newTableDir(wave, "seen-compact")
@@ -279,14 +297,27 @@ final class CrawlLoop(
         Seq(compacted)
       } else seenPaths0
 
+    // seed-count compaction: fold the ± deltas, drop drained seeds
+    val seedPaths0 = seedCountBase ++ sub("seedcnt")
+    val seedPaths =
+      if (seedPaths0.length > 16) {
+        val compacted = store.newTableDir(wave, "seedcnt-compact")
+        store.readTable(spark, seedPaths0, FrontierStore.seedCountDdl)
+          .groupBy($"seed_id").agg(sum($"cnt").as("cnt"))
+          .filter($"cnt" > 0)
+          .write.mode("overwrite").parquet(compacted)
+        Seq(compacted)
+      } else seedPaths0
+
     store.commit(wave, fPaths, seenPaths,
-      Seq(dirs("host_state")), Nil,
+      hostPaths, Nil,
       newRows, bloomPaths,
       Map("claimed" -> counterRow.claimed, "fetched" -> counterRow.fetched,
         "failed" -> counterRow.failed, "deduped" -> counterRow.deduped,
         "excluded" -> counterRow.excluded, "queued" -> counterRow.queued,
         "seeds_finished" -> counterRow.seeds_finished),
-      frontierDeletes = fDelPaths)
+      frontierDeletes = fDelPaths,
+      seedCounts = seedPaths)
     Some(counterRow)
   }
 
@@ -305,6 +336,24 @@ final class CrawlLoop(
 }
 
 object CrawlLoop {
+  /** Union heterogeneous per-wave delta tables into ONE row_type-tagged
+    * DataFrame (absent columns null-padded), so a single
+    * partitionBy(row_type) write replaces five separate write jobs. The
+    * manifest then references each row_type subdirectory as its own table.
+    */
+  def unionBySchema(parts: Seq[(String, DataFrame)]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val types = parts.flatMap(_._2.schema.fields)
+      .map(f => f.name -> f.dataType).toMap
+    val all = parts.flatMap(_._2.columns).distinct
+    parts.map { case (rt, df) =>
+      val have = df.columns.toSet
+      df.select(all.map(c =>
+        if (have.contains(c)) col(c) else lit(null).cast(types(c)).as(c)): _*)
+        .withColumn("row_type", lit(rt))
+    }.reduce(_ unionByName _)
+  }
+
   /** Shared daemon pool for concurrent per-wave job submission. */
   val waveEc: scala.concurrent.ExecutionContext =
     scala.concurrent.ExecutionContext.fromExecutor(

@@ -154,8 +154,15 @@ object Wave {
     val fetchable = checked.filter(!$"is_seen")
     val seenRows = checked.filter($"is_seen")
     val webR = web.withColumnRenamed("url", "page_url")
+    // join on the 8-byte fnv64 key (claimed already carries url_hash): the
+    // broadcast builds a LongHashedRelation — far cheaper to build and
+    // probe than a string-keyed one — with an equality post-filter to
+    // reject hash collisions
     val hits = webR
-      .join(broadcast(fetchable), col("page_url") === fetchable("url_canon"), "inner")
+      .withColumn("__page_hash", Udfs.fnv64($"page_url"))
+      .join(broadcast(fetchable), col("__page_hash") === fetchable("url_hash"), "inner")
+      .filter(col("page_url") === fetchable("url_canon"))
+      .drop("__page_hash")
       .withColumn("status_code", coalesce($"status_code", lit(200)))
       .withColumn("disposition",
         when($"status_code" >= 400, "FAILED")

@@ -84,7 +84,7 @@ class WavePlanSpec extends AnyFunSuite {
     val fin = Wave.finish(spark, conf, 3, frontier, seen,
       logs.claimedLog, logs.candidateLog, bloom)
     val finPlan = fin.enqueued.queryExecution.executedPlan
-    PlanShapes.firstJoinOrShuffleAboveScan(finPlan, "-seen") match {
+    PlanShapes.firstJoinOrShuffleAboveScan(finPlan, "row_type=seen") match {
       case Some(_: BroadcastHashJoinExec) => // seen streams scan-side: OK
       case Some(other) => fail(
         s"seen table must be consumed via BroadcastHashJoin, got ${other.nodeName}")
