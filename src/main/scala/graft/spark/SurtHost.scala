@@ -25,22 +25,12 @@ case class SurtHost(child: Expression) extends UnaryExpression {
 }
 
 object SurtHost {
-  /** Reverse dot-separated labels over UTF8String bytes. */
-  def reverse(host: UTF8String): UTF8String = {
-    val s = host.toString
-    val parts = s.split('.')
-    if (parts.length <= 1) host
-    else {
-      val sb = new java.lang.StringBuilder(s.length)
-      var i = parts.length - 1
-      while (i >= 0) {
-        sb.append(parts(i))
-        if (i > 0) sb.append('.')
-        i -= 1
-      }
-      UTF8String.fromString(sb.toString)
-    }
-  }
+  /** Reference-faithful reversal (ports split and re-appended, IP literals
+    * unchanged, trailing dot trimmed, lowercased) — single implementation
+    * shared with graft.canon.Canon.reverseHost.
+    */
+  def reverse(host: UTF8String): UTF8String =
+    UTF8String.fromString(graft.canon.Canon.reverseHost(host.toString))
 
   def apply(c: Column): Column =
     org.apache.spark.sql.zenospark.Bridge.column(
