@@ -94,4 +94,24 @@ object Similarity {
     embeddings.select(col("vec_id"),
       sigBits.reduce((a, b) => a.bitwiseOR(b)).as("lsh_bucket"))
   }
+
+  /** Embedding-cosine near-duplicate pairs: LSH-bucketed candidate
+    * generation (same sign-signature bucket — an 8-byte join key), exact
+    * cosine verification within buckets only. Never all-pairs: the join
+    * is an equi-join on lsh_bucket, so at 100 TB the shuffle moves
+    * (vec_id, bucket, embedding) once and each bucket verifies
+    * independently. Recall is tuned with nBits (fewer bits → bigger
+    * buckets → higher recall, more verification).
+    */
+  def cosineNearDupPairs(embeddings: DataFrame, minCos: Double,
+                         nBits: Int = 8, dim: Int = 64): DataFrame = {
+    val keyed = cosineLshBuckets(embeddings, nBits, dim)
+      .join(embeddings, Seq("vec_id"))
+    keyed.as("a").join(keyed.as("b"),
+        col("a.lsh_bucket") === col("b.lsh_bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos", cosine(col("a.embedding"), col("b.embedding")))
+      .filter(col("cos") >= minCos)
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+  }
 }

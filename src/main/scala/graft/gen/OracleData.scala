@@ -103,13 +103,27 @@ object OracleData {
   def embVal(v: Long, d: Int): Float =
     (((v * 1315423911L + d * 2654435761L + 12345L) % 2001L) - 1000L) / 1000.0f
 
+  /** Deterministic embeddings with planted near-duplicates (every 13th
+    * vector ≈ its predecessor, one dim nudged) for the cosine near-dup
+    * operator.
+    */
+  def embeddingsSeq: Seq[(Long, Array[Float])] = {
+    val base = (0 until nVecs).map(v => Array.tabulate(embDim)(d => embVal(v.toLong, d)))
+    (0 until nVecs).map { v =>
+      val e =
+        if (v % 13 == 7 && v > 0) {
+          val c = base(v - 1).clone(); c(0) = c(0) + 0.01f; c
+        } else base(v)
+      (v.toLong, e)
+    }
+  }
+
   private def writeTrainingFixtures(spark: SparkSession): Unit = {
     import spark.implicits._
     (0 until nDocs).map(i => (i.toLong, docText(i.toLong)))
       .toDF("doc_id", "text")
       .coalesce(1).write.mode("overwrite").parquet(s"$Dir/documents")
-    (0 until nVecs)
-      .map(v => (v.toLong, Array.tabulate(embDim)(d => embVal(v.toLong, d))))
+    embeddingsSeq
       .toDF("vec_id", "embedding")
       .coalesce(1).write.mode("overwrite").parquet(s"$Dir/embeddings")
 
@@ -145,8 +159,7 @@ object OracleData {
   private def writeExpected(spark: SparkSession): Unit = {
     import spark.implicits._
     val docs = (0 until nDocs).map(i => (i.toLong, docText(i.toLong)))
-    val embs = (0 until nVecs)
-      .map(v => (v.toLong, Array.tabulate(embDim)(d => embVal(v.toLong, d))))
+    val embs = embeddingsSeq
 
     val K = 16
     val BANDS = 8
@@ -169,6 +182,9 @@ object OracleData {
     RefImpl.ivfTopK(embs, (0L until 10L).toSeq, k = 5, nCells = 8, nProbe = 3)
       .toDF("query_id", "neighbor_id", "rank")
       .coalesce(1).write.mode("overwrite").parquet(s"$Dir/expected_ann_ivf")
+    RefImpl.cosNearDupPairs(embs, minCos = 0.95, nBits = 8)
+      .toDF("vec_a", "vec_b")
+      .coalesce(1).write.mode("overwrite").parquet(s"$Dir/expected_cos_pairs")
 
     // canon: the frontier url list through graft.canon.Canon directly
     val canonConf = graft.conf.ZenoConf()

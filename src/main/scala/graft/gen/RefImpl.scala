@@ -189,6 +189,21 @@ object RefImpl {
     out
   }
 
+  /** Cosine near-dup pairs mirror of Similarity.cosineNearDupPairs:
+    * same-LSH-bucket candidates, exact cosine ≥ minCos.
+    */
+  def cosNearDupPairs(embs: Seq[(Long, Array[Float])], minCos: Double,
+                      nBits: Int): Seq[(Long, Long)] = {
+    val byBucket = embs.groupBy { case (_, v) => cosLshBucket(v, nBits) }
+    byBucket.valuesIterator.flatMap { vs =>
+      for {
+        (ia, va) <- vs
+        (ib, vb) <- vs
+        if ia < ib && cosine(va, vb) >= minCos
+      } yield (ia, ib)
+    }.toSeq.sorted
+  }
+
   /** IVF top-k mirror of Similarity.ivfTopK (centroids = first nCells ids,
     * rank ties broken by ascending id).
     */
