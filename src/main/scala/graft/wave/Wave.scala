@@ -81,8 +81,9 @@ object Wave {
     */
   def seenLookup(seen: DataFrame, keys: DataFrame): DataFrame =
     seen
-      .join(broadcast(keys.select(col("url_hash")).distinct()),
-        Seq("url_hash"), "left_semi")
+      // no .distinct() on the keys: the broadcast hash build dedupes
+      // anyway, and a distinct would add an exchange + agg per lookup
+      .join(broadcast(keys.select(col("url_hash"))), Seq("url_hash"), "left_semi")
       .groupBy(col("url_hash")).agg(max(col("kind")).as("seen_kind"))
 
   def run(
