@@ -25,11 +25,20 @@ class ZenoExtensions extends (SparkSessionExtensions => Unit) {
 
 object ZenoExtensions {
   /** Imperative registration into an existing session (getOrCreate ignores
-    * withExtensions when a session already exists).
+    * withExtensions when a session already exists). Also registers the
+    * Scala-UDF surface for SQL users: zeno_canonicalize(url[, parent])
+    * and zeno_host(url) over the default config.
     */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("fnv64a", es => Fnv64a(es.head), "built-in")
     reg.createOrReplaceTempFunction("surt_host", es => SurtHost(es.head), "built-in")
+    val conf = graft.conf.ZenoConf.default
+    spark.udf.register("zeno_canonicalize", (raw: String, parent: String) =>
+      graft.canon.Canon.canonicalize(raw, Option(parent), conf)
+        .toOption.map(_.href).orNull)
+    spark.udf.register("zeno_host", (raw: String) =>
+      graft.canon.Canon.canonicalize(raw, None, conf)
+        .toOption.map(_.host).orNull)
   }
 }

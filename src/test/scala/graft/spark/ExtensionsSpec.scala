@@ -30,4 +30,17 @@ class ExtensionsSpec extends AnyFunSuite {
       "surt_host(CAST(NULL AS STRING)) AS s").first()
     assert(r.isNullAt(0) && r.isNullAt(1))
   }
+
+  test("zeno_canonicalize / zeno_host callable from SQL") {
+    val r = spark.sql(
+      "SELECT zeno_canonicalize('HTTP://Example.COM:80/a/../b?z=1&a=2', CAST(NULL AS STRING)) AS c, " +
+        "zeno_host('http://Sub.Example.org/x') AS h").first()
+    assert(r.getString(0) == graft.canon.Canon
+      .canonicalize("HTTP://Example.COM:80/a/../b?z=1&a=2", None, graft.conf.ZenoConf.default)
+      .toOption.get.href)
+    assert(r.getString(1) == "sub.example.org")
+    // rejects return NULL, usable in SQL filters
+    val bad = spark.sql("SELECT zeno_canonicalize('javascript:void(0)', CAST(NULL AS STRING)) AS c").first()
+    assert(bad.isNullAt(0))
+  }
 }
