@@ -456,7 +456,14 @@ object Canon {
   }
 
   private def isIpLiteral(host: String): Boolean = {
-    if (host.indexOf(':') >= 0) return true // IPv6 (bare colons survive the split)
+    if (host.indexOf(':') >= 0) {
+      // IPv6-shaped: hex/colon/dot chars only AND ("::" present or the
+      // full 8-group form) — a host like a:b:c.example.com is NOT an IP
+      // (net.ParseIP rejects it) and must go through label reversal
+      val hexy = host.forall(c =>
+        c.isDigit || (c >= 'a' && c <= 'f') || c == ':' || c == '.')
+      return hexy && (host.contains("::") || host.count(_ == ':') == 7)
+    }
     val parts = host.split('.')
     parts.length == 4 && parts.forall { p =>
       p.nonEmpty && p.length <= 3 && p.forall(_.isDigit) && p.toInt <= 255

@@ -63,11 +63,27 @@ final class Filters(conf: ZenoConf) extends Serializable {
   *  - regex ("...*...")             → regex over the full URL
   */
 final class DomainsMatcher(patterns: Seq[String]) extends Serializable {
-  private val isRegexLike: String => Boolean =
-    p => p.exists(c => "\\^$*+?()[]{}|".contains(c))
 
-  private val (regexPats, rest0) = patterns.partition(isRegexLike)
-  private val (urlPats, domainPats) = rest0.partition(p => p.contains("://"))
+  // ---- classification, in the reference's order (domainscrawl.go:108-129):
+  // full URL (scheme + host) → naive domain ('.' present, no space, no
+  // scheme/path/query/fragment) → regex (compile errors fail fast) ----
+  private def hasSchemeAndHost(p: String): Boolean = {
+    val i = p.indexOf("://")
+    if (i <= 0) return false
+    val scheme = p.substring(0, i)
+    if (!scheme.head.isLetter ||
+      !scheme.forall(c => c.isLetterOrDigit || c == '+' || c == '-' || c == '.'))
+      return false
+    val rest = p.substring(i + 3)
+    val host = rest.takeWhile(c => c != '/' && c != '?' && c != '#')
+    host.nonEmpty
+  }
+  private def isNaiveDomain(p: String): Boolean =
+    !p.contains("://") && !p.exists(c => c == '/' || c == '?' || c == '#') &&
+      p.contains('.') && !p.contains(' ')
+
+  private val (urlPats, rest0) = patterns.partition(hasSchemeAndHost)
+  private val (domainPats, regexPats) = rest0.partition(isNaiveDomain)
 
   private val exactHosts: Set[String] = domainPats.map(_.toLowerCase).toSet
   // SURT prefixes: matching any subdomain of d ⇔ reversed host starts with
@@ -76,10 +92,20 @@ final class DomainsMatcher(patterns: Seq[String]) extends Serializable {
   // can skip a matching parent when sibling subdomain patterns surround it)
   private val surtPrefixSet: Set[String] =
     domainPats.map(d => Canon.reverseHost(d.toLowerCase) + ".").toSet
+  // full URLs: exact string match; patterns with NO path/query/fragment
+  // greedily match the (sub)domain of their host (domainscrawl.go:152-160)
   private val exactUrls: Set[String] = urlPats.toSet
+  private val greedyUrlHosts: Array[String] = urlPats.flatMap { p =>
+    val rest = p.substring(p.indexOf("://") + 3)
+    val host = rest.takeWhile(c => c != '/' && c != '?' && c != '#')
+    if (rest == host) Some(host.toLowerCase) else None
+  }.toArray
   private val regexes: Array[Regex] = regexPats.map(_.r).toArray
 
   def isEmpty: Boolean = patterns.isEmpty
+
+  private def isSubdomainOf(host: String, domain: String): Boolean =
+    host == domain || host.endsWith("." + domain)
 
   def matches(href: String, host: String): Boolean = {
     if (patterns.isEmpty) return false
@@ -96,6 +122,11 @@ final class DomainsMatcher(patterns: Seq[String]) extends Serializable {
       }
     }
     if (exactUrls.contains(href)) return true
+    var g = 0
+    while (g < greedyUrlHosts.length) {
+      if (isSubdomainOf(h, greedyUrlHosts(g))) return true
+      g += 1
+    }
     var i = 0
     while (i < regexes.length) {
       if (regexes(i).findFirstIn(href).isDefined) return true

@@ -20,16 +20,62 @@ class AdviceFixesSpec extends AnyFunSuite {
     assert(!m.matches("http://badexample.com/", "badexample.com"))
   }
 
-  test("reverseHost: ports, IP literals, trailing dots, case (reversehost.go:11-55)") {
-    assert(Canon.reverseHost("www.google.com") == "com.google.www")
-    assert(Canon.reverseHost("example.com:8080") == "com.example:8080")
-    assert(Canon.reverseHost("WWW.Example.COM.") == "com.example.www")
-    assert(Canon.reverseHost("192.168.1.1") == "192.168.1.1")
-    assert(Canon.reverseHost("192.168.1.1:8443") == "192.168.1.1:8443")
-    assert(Canon.reverseHost("[::1]:443") == "[::1]:443")
-    assert(Canon.reverseHost("single") == "single")
-    // 999.1.1.1 is NOT an IP literal → labels reverse
+  test("reverseHost: the full upstream table (reversehost_test.go:12-50)") {
+    val table = Seq(
+      "www.google.com" -> "com.google.www",
+      "a.b.c.d.e" -> "e.d.c.b.a",
+      "example.com" -> "com.example",
+      "localhost" -> "localhost",
+      "example.com." -> "com.example",
+      "WWW.GOOGLE.COM" -> "com.google.www",
+      "Sub.ExAmPlE.CoM" -> "com.example.sub",
+      "www.google.com:443" -> "com.google.www:443",
+      "example.com:80" -> "com.example:80",
+      "svc.env.example.org:8443" -> "org.example.env.svc:8443",
+      "127.0.0.1" -> "127.0.0.1",
+      "127.0.0.1:8080" -> "127.0.0.1:8080",
+      "[2001:db8::1]:443" -> "[2001:db8::1]:443",
+      "[::1]:80" -> "[::1]:80",
+      "www.xn--bcher-kva.example" -> "example.xn--bcher-kva.www",
+      "xn--fsqu00a.xn--0zwm56d" -> "xn--0zwm56d.xn--fsqu00a",
+      "www.bücher.example" -> "example.bücher.www",
+      "a:b:c.example.com" -> "com.example.a:b:c")
+    table.foreach { case (in, want) =>
+      assert(Canon.reverseHost(in) == want, s"reverseHost($in)")
+    }
+    // beyond the table: 999.* is not an IP literal → labels reverse
     assert(Canon.reverseHost("999.123.1.1") == "1.1.123.999")
+  }
+
+  test("DomainsMatcher: the full upstream Match table (domainscrawl_test.go:177-262)") {
+    def m(elements: String*)(rawURL: String): Boolean = {
+      val host = {
+        val i = rawURL.indexOf("://")
+        if (i < 0) ""
+        else rawURL.substring(i + 3).takeWhile(c => c != '/' && c != '?' && c != '#')
+      }
+      new DomainsMatcher(elements).matches(rawURL, host)
+    }
+    assert(m("example.com")("https://example.com"))
+    assert(m("example.com")("https://sub.example.com"))
+    assert(m("https://example.org/path?query=1")("https://example.org/path?query=1"))
+    assert(!m("https://example.org/path?query=1")(
+      "https://example.org/path?query=completely-different"))
+    assert(m("example.org")("https://example.org/path?query=1"))
+    // greedy match: a full-URL pattern without path/query/fragment matches
+    // the (sub)domain of its host (domainscrawl.go:152-160)
+    assert(m("https://example.org")("https://example.org/path?query=1"))
+    assert(m("""^https?://(www\.)?example\.net/.*""")("https://example.net/"))
+    assert(m("""^https?://(www\.)?example\.net/.*""")("http://www.example.net/resource"))
+    assert(!m("example.com")("https://different.com"))
+    assert(!m("https://another-example.com")("https://example.com/path"))
+    assert(!m("""^https?://(www\.)?example\.com/.*""")("https://example.net/"))
+    assert(!m("""^https?://(www\.)?example\.net/only-one-path$""")(
+      "https://example.net/?query=1"))
+    // classification parity: 'example.com/path' is a REGEX (not a naive
+    // domain — contains '/'), 'example' too (no dot)
+    assert(m("example.com/path")("https://x.org/example.com/path"))
+    assert(m("example")("https://an-example.org/"))
   }
 
   test("surt_host native expression matches Canon.reverseHost") {
