@@ -136,8 +136,17 @@ object Extract {
     }
 
     // --- sanitize (assets.go:100-153 + protocol filter utils.go:9-30) ---
-    val cleanAssets = assets
+    val cleanAssets0 = assets
       .filter(a => a != null && a.nonEmpty && a != p.url)
+    // Reddit URL-encoding quirk (assets.go:124-135): strip "amp;" and
+    // query-unescape asset URLs on reddit pages; unescapable → kept as-is
+    val cleanAssets = (if (SiteSpecific.Reddit.isRedditUrl(p.url))
+      cleanAssets0.map { a =>
+        val collapsed = a.replace("amp;", "")
+        try java.net.URLDecoder.decode(collapsed, "UTF-8")
+        catch { case _: Exception => a }
+      }
+    else cleanAssets0)
       .filterNot(Canon.hasBadProtocol)
     var cleanOutlinks = outlinks
       .filter(o => o != null && o.nonEmpty)

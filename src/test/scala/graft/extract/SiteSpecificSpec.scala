@@ -105,6 +105,20 @@ class SiteSpecificSpec extends AnyFunSuite {
     assert(r.assets.contains("https://truthsocial.com/api/v1/truth/videos/vid9"))
   }
 
+  test("reddit asset quirk: amp; stripped + query-unescaped (assets_test.go:89-109)") {
+    val html = """<html><img src="http://reddit.com/asset?a=1&b=2&amp;c=3"></html>"""
+    val r = Extract.page(PageInput("https://reddit.com/", "text/html", body = html),
+      ZenoConf(maxHops = 3))
+    assert(r.assets.contains("http://reddit.com/asset?a=1&b=2&c=3"),
+      s"got ${r.assets}")
+    // non-reddit pages keep the raw form
+    val r2 = Extract.page(PageInput("https://other.com/", "text/html",
+      body = """<html><img src="http://x.com/a?p=1&amp;q=2"></html>"""),
+      ZenoConf(maxHops = 3))
+    assert(r2.assets.exists(_.contains("amp;")) || r2.assets.exists(_.contains("&q=")),
+      s"got ${r2.assets}")
+  }
+
   // ---------- INA ----------
   test("ina partner-API media assets") {
     assert(SiteSpecific.Ina.isApiUrl("https://apipartner.ina.fr/asset/123"))
