@@ -107,6 +107,27 @@ class ProtocolSpec extends AnyFunSuite {
     assert(b.latest.get.frontierRows == 1L)
   }
 
+  test("vacuum keeps every live table (including delta subdir references) and the crawl resumes") {
+    val corpus = tmpDir("corpus")
+    writeCorpus(corpus, Seq(
+      page("http://a.com/", Seq("http://a.com/1", "http://a.com/2")),
+      page("http://a.com/1", Seq("http://a.com/3")),
+      page("http://a.com/2", Nil),
+      page("http://a.com/3", Nil)))
+    val store = tmpDir("store")
+    val loop = new CrawlLoop(spark, testConf, store, corpus, Map.empty)
+    loop.init(Seq("http://a.com/"))
+    loop.run(2)
+    val beforeFrontier = loop.frontier.select("url_canon").collect().map(_.getString(0)).toSet
+    val beforeSeen = loop.seen.count()
+    loop.store.vacuum() // must not delete dirs referenced via row_type= subpaths
+    val reopened = new CrawlLoop(spark, testConf, store, corpus, Map.empty)
+    assert(reopened.frontier.select("url_canon").collect().map(_.getString(0)).toSet
+      == beforeFrontier, "frontier intact after vacuum")
+    assert(reopened.seen.count() == beforeSeen, "seen intact after vacuum")
+    assert(reopened.run(2).nonEmpty, "crawl resumes over the vacuumed store")
+  }
+
   test("multi-writer: alternating loops over one store equal a single writer") {
     val corpus = tmpDir("corpus")
     val pages = (0 until 10).map(i =>
