@@ -133,7 +133,9 @@ object Bench {
       val waves = 3
       val lowCores = math.max(2, sys.env.getOrElse("SPARK_GRAFT_BENCH_LOW", "2").toInt)
       val hiCores = lowCores * 4
-      val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt // raise for noisier boxes
+      // 2 interleaved reps ≈ the round-1 total runtime envelope; raise for
+      // noisier boxes
+      val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
       // corpus-build pass (untimed; also warms the page cache)
       crawlRun(hiCores, corpusDir, spec, 1)
       // best-of-N per level with the levels INTERLEAVED (lo,hi,lo,hi,…):
