@@ -38,6 +38,10 @@ final case class ZenoConf(
     hostBuckets: Int = 64,
     // partitioned Bloom seen-filter (north-star shape): one shard per host
     // bucket, pre-filtering the exact seen join
+    // facebook post → embed-URL child (E18); upstream dispatch exists but
+    // is commented out pending a status bug (postprocessor/item.go:57-69),
+    // so default-off preserves reference crawl parity
+    facebookEmbeds: Boolean = false,
     useBloomSeenFilter: Boolean = true,
     bloomExpectedPerShard: Long = 100000L,
     bloomFpp: Double = 0.01

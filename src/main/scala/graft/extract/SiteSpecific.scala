@@ -141,6 +141,26 @@ object SiteSpecific {
           s("uri")).filter(_.nonEmpty)
       }
   }
+
+  // ---------- facebook (sitespecific/facebook/facebook.go:11-22) ----------
+  /** Facebook post → embed-URL child synthesis. Upstream this dispatch is
+    * present but commented out pending a status bug
+    * (postprocessor/item.go:57-69), so the wave gates it behind
+    * `ZenoConf.facebookEmbeds` (default false = current reference
+    * behavior); the synthesis itself is the reference's exactly.
+    */
+  object Facebook {
+    def isPostUrl(u: String): Boolean =
+      u != null && u.contains("www.facebook.com") && u.contains("/posts/") &&
+        !u.contains("/plugins/post.php")
+
+    /** plugins/post.php?href=<QueryEscape(url)>&show_text=true, hops
+      * preserved (facebook.go:17-22).
+      */
+    def embedUrl(u: String): String =
+      "https://www.facebook.com/plugins/post.php?href=" +
+        graft.canon.Canon.queryEscape(u) + "&show_text=true"
+  }
 }
 
 /** Request decoration (preprocessor sitespecific chain): the reference

@@ -36,6 +36,10 @@ object Udfs {
         case Left(r) => CanonResult(null, null, r.code)
       })
 
+  /** E18 facebook post detection / embed-URL synthesis (facebook.go:11-22). */
+  val fbIsPost = udf((u: String) => graft.extract.SiteSpecific.Facebook.isPostUrl(u))
+  val fbEmbed = udf((u: String) => graft.extract.SiteSpecific.Facebook.embedUrl(u))
+
   /** Include/exclude filter (F4/F5): true = keep. */
   def filterTest(conf: ZenoConf) = {
     val filters = new Filters(conf)

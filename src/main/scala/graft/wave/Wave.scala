@@ -241,8 +241,22 @@ object Wave {
       .select(parentCols :+ $"location".as("raw_link"): _*)
       .withColumn("link_kind", lit("redirect"))
 
+    // E18 facebook: post page → plugins/post.php embed child, hops
+    // preserved (asset semantics; facebook.go:17-22). Runs on any
+    // non-redirect response, matching the reference's dispatch position
+    // after the redirect early-return (item.go:57-69); default-off because
+    // upstream currently has the dispatch commented out.
+    val facebookChildren =
+      if (!conf.facebookEmbeds) redirectChildren.limit(0)
+      else extractedHits
+        .filter($"disposition" =!= "REDIRECT" && $"status_code".isNotNull &&
+          Udfs.fbIsPost($"url_canon"))
+        .select(parentCols :+ Udfs.fbEmbed($"url_canon").as("raw_link"): _*)
+        .withColumn("link_kind", lit("asset"))
+
     // ---- canonicalize (F1-F3) + dispositions in preprocessor order ----
     val canonized = linkChildren.unionByName(redirectChildren)
+      .unionByName(facebookChildren)
       .withColumn("c", canonUdf($"raw_link", $"parent_canon"))
       .withColumn("href", $"c.href")
       .withColumn("chost", $"c.host")

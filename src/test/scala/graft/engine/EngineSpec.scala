@@ -80,6 +80,25 @@ class EngineSpec extends AnyFunSuite {
     assert(counters.map(_.failed).sum == 0)
   }
 
+  test("facebook post page synthesizes the embed child (E18, flag-gated)") {
+    val post = "https://www.facebook.com/zuck/posts/101"
+    val corpus = tmpDir("corpus")
+    writeCorpus(corpus, Seq(page(post, Nil)))
+    def wave2Claims(fb: Boolean): Set[String] = {
+      val loop = new CrawlLoop(spark, testConf.copy(facebookEmbeds = fb),
+        tmpDir(s"store-fb-$fb"), corpus, Map.empty)
+      loop.init(Seq(post))
+      loop.run(2)
+      if (loop.store.latest.exists(_.wave >= 2)) claimedUrls(loop, 2) else Set.empty
+    }
+    val withEmbed = wave2Claims(fb = true)
+    assert(withEmbed.exists(u => u.contains("/plugins/post.php") &&
+      u.contains("href=https%3A%2F%2Fwww.facebook.com%2Fzuck%2Fposts%2F101")),
+      s"embed child expected in wave 2, got $withEmbed")
+    assert(!wave2Claims(fb = false).exists(_.contains("/plugins/post.php")),
+      "default (reference parity): no embed synthesis")
+  }
+
   test("seen-set equality and single-fetch per URL") {
     // /shared linked from both seeds; must be fetched exactly once
     val corpus = tmpDir("corpus")

@@ -176,6 +176,21 @@ class SiteSpecificSpec extends AnyFunSuite {
     assert(r.outlinks.count(_ == "https://archive.org/about/") == 2)
   }
 
+  // ---------- facebook embed synthesis (facebook.go:11-22) ----------
+  test("facebook post detection + embed URL generation") {
+    import SiteSpecific.Facebook
+    assert(Facebook.isPostUrl("https://www.facebook.com/zuck/posts/10102577175875681"))
+    assert(!Facebook.isPostUrl(
+      "https://www.facebook.com/plugins/post.php?href=x")) // no self-loop
+    assert(!Facebook.isPostUrl("https://www.facebook.com/zuck"))
+    assert(!Facebook.isPostUrl("https://example.com/posts/1"))
+    assert(!Facebook.isPostUrl("https://m.facebook.com/zuck/posts/1")) // www only
+    // QueryEscape semantics: ':' '/' → %XX uppercase
+    assert(Facebook.embedUrl("https://www.facebook.com/zuck/posts/101") ==
+      "https://www.facebook.com/plugins/post.php?href=" +
+        "https%3A%2F%2Fwww.facebook.com%2Fzuck%2Fposts%2F101&show_text=true")
+  }
+
   test("pdf literal-string escapes and hex strings") {
     assert(Pdf.scanUris("/URI (https://a.example/\\(x\\)/y)") ==
       Seq("https://a.example/(x)/y"))
