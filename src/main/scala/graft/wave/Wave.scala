@@ -346,8 +346,19 @@ object Wave {
     //      an asset may re-enter as a seed (seencheck.go:110-115).
     //      Bloom shards shrink the lookup key set; bloom-negative rows miss
     //      the broadcast lookup (null seen_kind) and pass untouched ----
-    val inFrontier = dedupedBatch
-      .join(frontier.select($"url_canon"), Seq("url_canon"), "left_anti")
+    // The frontier is consumed SCAN-SIDE like the seen set: a direct
+    // left-anti against the frontier would either broadcast the whole
+    // frontier (driver-serial build ∝ frontier size) or SortMergeJoin it
+    // (full-frontier shuffle per wave) — both fatal at 10^10 rows. Instead
+    // the frontier streams (column-pruned to url_canon) through a semi-join
+    // against the broadcast wave keys; only the matches — bounded by wave
+    // size — broadcast back for the anti.
+    val batchCached = dedupedBatch
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pendingHits = frontier.select($"url_canon")
+      .join(broadcast(batchCached.select($"url_canon")), Seq("url_canon"), "left_semi")
+    val inFrontier = batchCached
+      .join(broadcast(pendingHits), Seq("url_canon"), "left_anti")
       .withColumn("url_hash", Udfs.fnv64($"url_canon"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val flagged = graft.frontier.BloomShards.flagMaybeSeen(inFrontier, bloom)
@@ -362,7 +373,7 @@ object Wave {
     val seenAppend = claimedLog.filter($"disposition" =!= "SEEN")
       .select($"url_hash", $"check_kind".as("kind"), $"host_bucket")
 
-    FinishResult(unique, seenAppend, Seq(inFrontier))
+    FinishResult(unique, seenAppend, Seq(batchCached, inFrontier))
   }
 
   /** Collapse the append-only seen table to one kind per hash

@@ -90,6 +90,19 @@ class WavePlanSpec extends AnyFunSuite {
         s"seen table must be consumed via BroadcastHashJoin, got ${other.nodeName}")
       case None => fail("finish plan must scan the seen table")
     }
+    // the frontier likewise: the J2 enqueue-dedupe must stream the frontier
+    // scan-side (semi vs broadcast wave keys), never broadcast or shuffle
+    // the frontier itself
+    PlanShapes.firstJoinOrShuffleAboveScan(finPlan, "-frontier") match {
+      case Some(_: BroadcastHashJoinExec) => // frontier streams scan-side: OK
+      case Some(other) => fail(
+        s"frontier must be consumed via BroadcastHashJoin in finish, got ${other.nodeName}")
+      case None => fail("finish plan must scan the frontier")
+    }
+    val frontierShuffles = PlanShapes.shufflesAbove(finPlan, "-frontier")
+    assert(frontierShuffles.isEmpty,
+      "frontier must never shuffle in the finish plan; offending:\n" +
+        frontierShuffles.map(_.nodeName).mkString("\n"))
     (logs.cached ++ fin.cached).foreach(_.unpersist())
   }
 }
