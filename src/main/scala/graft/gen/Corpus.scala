@@ -221,13 +221,41 @@ object Corpus {
     both.map(_._1).write.mode("overwrite").parquet(s"$dir/pages")
     both.map(_._2).write.mode("overwrite").parquet(s"$dir/fetch_meta")
     robots(spec).toDS().write.mode("overwrite").parquet(s"$dir/robots")
-    both.map { case (p, m) =>
+    val web = both.map { case (p, m) =>
       (p.url, p.warc_ts, p.html, p.text, p.lang,
         m.status_code, m.content_type, m.server, m.link_header, m.location)
     }.toDF("url", "warc_ts", "html", "text", "lang",
         "status_code", "content_type", "server", "link_header", "location")
-      .write.mode("overwrite").parquet(s"$dir/web")
+    // hash-bucketed layout on the fetch-join key (≙ an Iceberg
+    // bucket(N, url) partition transform): the per-wave fetch join then
+    // co-locates by exchanging only the SMALL claimed side — no
+    // driver-serial broadcast build, still zero corpus shuffle. The
+    // pre-repartition uses the same HashPartitioning as bucketBy, so each
+    // task writes exactly its own bucket (numBuckets files total).
+    val buckets = webBuckets(spec)
+    val tbl = tableNameFor(dir)
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    web.repartition(buckets, $"url")
+      .write.mode("overwrite")
+      .bucketBy(buckets, "url")
+      .option("path", s"$dir/web")
+      .saveAsTable(tbl)
+    // sidecar so other sessions/JVMs can re-register the bucket spec
+    // (≙ the table metadata a shared catalog would hold on a cluster)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/web_bucketspec.json"),
+      s"""{"numBuckets":$buckets,"schema":"${web.schema.toDDL.replace("\"", "\\\"")}"}"""
+        .getBytes("UTF-8"))
   }
+
+  /** Bucket count for the web table: enough for full scan parallelism at
+    * sandbox scale; at 100 TB the same layout uses thousands of buckets.
+    */
+  def webBuckets(spec: Spec): Int =
+    math.min(512, math.max(32, (spec.nPages / 20000L).toInt)).toInt
+
+  def tableNameFor(dir: String): String =
+    "zeno_web_" + math.abs(dir.hashCode).toString
 
   def pages(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/pages")

@@ -31,17 +31,34 @@ final class CrawlLoop(
   import spark.implicits._
 
   val store = new FrontierStore(workDir)
-  /** The fetch corpus: pre-merged `web` table when present (zero corpus
-    * shuffles per wave), else pages ⋈ fetch_meta joined lazily.
+  /** The fetch corpus, best layout first:
+    *  1. url-bucketed `web` table (sidecar `web_bucketspec.json` carries
+    *     the bucket spec — ≙ shared-catalog metadata): the fetch join
+    *     co-locates by exchanging only the claimed side, no broadcast;
+    *  2. pre-merged plain `web` parquet: claimed set broadcasts;
+    *  3. pages ⋈ fetch_meta joined lazily.
     */
-  private val web: DataFrame =
-    if (java.nio.file.Files.exists(java.nio.file.Paths.get(s"$corpusDir/web")))
+  private[graft] val web: DataFrame = {
+    val sidecar = java.nio.file.Paths.get(s"$corpusDir/web_bucketspec.json")
+    if (java.nio.file.Files.exists(sidecar)) {
+      val node = graft.extract.Json.parse(
+        new String(java.nio.file.Files.readAllBytes(sidecar), "UTF-8"))
+        .getOrElse(sys.error(s"unreadable bucket spec: $sidecar"))
+      val buckets = node.path("numBuckets").asInt()
+      val schema = node.path("schema").asText()
+      val tbl = graft.gen.Corpus.tableNameFor(corpusDir)
+      if (!spark.catalog.tableExists(tbl))
+        spark.sql(s"CREATE TABLE $tbl ($schema) USING parquet " +
+          s"CLUSTERED BY (url) INTO $buckets BUCKETS LOCATION '$corpusDir/web'")
+      spark.table(tbl)
+    } else if (java.nio.file.Files.exists(java.nio.file.Paths.get(s"$corpusDir/web")))
       spark.read.parquet(s"$corpusDir/web")
     else {
       val pages = spark.read.parquet(s"$corpusDir/pages")
       val meta = spark.read.parquet(s"$corpusDir/fetch_meta")
       pages.join(meta, Seq("url"), "full_outer")
     }
+  }
 
   /** Seed insertion (S1/S2): canonicalize, filter, build frontier rows,
     * commit snapshot v0. No-op if the store already has snapshots (resume).

@@ -79,6 +79,20 @@ object Wave {
     * Max-kind realizes the asset→seed promotion rule: "seed" > "redirect"
     * > "asset" lexically, matching seencheck.go:110-115.
     */
+  /** True when the corpus scan carries a bucket spec on `url` (registered
+    * catalog table, Corpus.write layout) — the fetch join then co-locates
+    * via the bucketing instead of a driver-built broadcast.
+    */
+  private def isBucketedOnUrl(df: DataFrame): Boolean =
+    df.queryExecution.optimizedPlan.collectFirst {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation match {
+          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            h.bucketSpec.exists(_.bucketColumnNames.map(_.toLowerCase) == Seq("url"))
+          case _ => false
+        }
+    }.getOrElse(false)
+
   def seenLookup(seen: DataFrame, keys: DataFrame): DataFrame =
     seen
       // no .distinct() on the keys: the broadcast hash build dedupes
@@ -147,23 +161,34 @@ object Wave {
           .drop("seen_kind", "maybe_seen")
       }
 
-    // ---- fetch (S11): INNER join with the claimed set broadcast as the
-    //      build side — the corpus streams scan-side and never shuffles.
+    // ---- fetch (S11): INNER join, corpus always streams scan-side and
+    //      NEVER shuffles. Two co-location strategies:
+    //       a) url-bucketed corpus (Iceberg bucket(N, url) layout): a
+    //          shuffled-hash join where ONLY the small claimed side
+    //          exchanges to the corpus's bucketing — no driver-serial
+    //          broadcast build at all (the per-wave serial floor that
+    //          capped N→4N scaling);
+    //       b) plain corpus: the claimed set broadcasts as the build side
+    //          on the 8-byte fnv64 key (LongHashedRelation — cheaper to
+    //          build/probe than string keys), equality post-filter
+    //          rejecting hash collisions.
     //      Claimed URLs absent from the corpus (≙ connection errors) are
     //      recovered by an anti-join against the cached hit keys and
     //      synthesized as FAILED ----
     val fetchable = checked.filter(!$"is_seen")
     val seenRows = checked.filter($"is_seen")
     val webR = web.withColumnRenamed("url", "page_url")
-    // join on the 8-byte fnv64 key (claimed already carries url_hash): the
-    // broadcast builds a LongHashedRelation — far cheaper to build and
-    // probe than a string-keyed one — with an equality post-filter to
-    // reject hash collisions
-    val hits = webR
-      .withColumn("__page_hash", Udfs.fnv64($"page_url"))
-      .join(broadcast(fetchable), col("__page_hash") === fetchable("url_hash"), "inner")
-      .filter(col("page_url") === fetchable("url_canon"))
-      .drop("__page_hash")
+    val joined =
+      if (isBucketedOnUrl(web))
+        webR.join(fetchable.hint("shuffle_hash"),
+          col("page_url") === fetchable("url_canon"), "inner")
+      else
+        webR
+          .withColumn("__page_hash", Udfs.fnv64($"page_url"))
+          .join(broadcast(fetchable), col("__page_hash") === fetchable("url_hash"), "inner")
+          .filter(col("page_url") === fetchable("url_canon"))
+          .drop("__page_hash")
+    val hits = joined
       .withColumn("status_code", coalesce($"status_code", lit(200)))
       .withColumn("disposition",
         when($"status_code" >= 400, "FAILED")
@@ -353,13 +378,19 @@ object Wave {
     // the frontier streams (column-pruned to url_canon) through a semi-join
     // against the broadcast wave keys; only the matches — bounded by wave
     // size — broadcast back for the anti.
+    // The semi runs on the 8-byte fnv64 key (LongHashedRelation build, not
+    // a wave-sized string broadcast); a hash collision only lets an extra
+    // frontier row into `pendingHits` — the anti below is exact on
+    // url_canon, so results are unaffected.
     val batchCached = dedupedBatch
+      .withColumn("url_hash", Udfs.fnv64($"url_canon"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pendingHits = frontier.select($"url_canon")
-      .join(broadcast(batchCached.select($"url_canon")), Seq("url_canon"), "left_semi")
+      .withColumn("fh", Udfs.fnv64($"url_canon"))
+      .join(broadcast(batchCached.select($"url_hash".as("fh"))), Seq("fh"), "left_semi")
+      .select($"url_canon")
     val inFrontier = batchCached
       .join(broadcast(pendingHits), Seq("url_canon"), "left_anti")
-      .withColumn("url_hash", Udfs.fnv64($"url_canon"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val flagged = graft.frontier.BloomShards.flagMaybeSeen(inFrontier, bloom)
     val lookup = seenLookup(seen, flagged.filter($"maybe_seen"))

@@ -105,4 +105,60 @@ class WavePlanSpec extends AnyFunSuite {
         frontierShuffles.map(_.nodeName).mkString("\n"))
     (logs.cached ++ fin.cached).foreach(_.unpersist())
   }
+
+  test("bucketed corpus: shuffled-hash fetch join (claimed side exchanges), " +
+      "corpus never shuffles, results equal the broadcast path") {
+    import java.nio.file.{Files, Paths, Path}
+    val dir = tmpDir("bucketed-corpus")
+    val spec = Corpus.Spec(nPages = 400, nHosts = 8)
+    Corpus.write(spark, dir, spec)
+    assert(Files.exists(Paths.get(s"$dir/web_bucketspec.json")))
+    // plain twin: same corpus files minus the bucket sidecar → the fetch
+    // join falls back to the broadcast-inner path
+    val dir2 = tmpDir("plain-corpus")
+    def copyTree(from: Path, to: Path): Unit = {
+      Files.createDirectories(to)
+      val s = Files.list(from)
+      try s.iterator().forEachRemaining { p =>
+        val t = to.resolve(p.getFileName)
+        if (Files.isDirectory(p)) copyTree(p, t) else Files.copy(p, t)
+      } finally s.close()
+    }
+    copyTree(Paths.get(dir), Paths.get(dir2))
+    Files.delete(Paths.get(s"$dir2/web_bucketspec.json"))
+
+    val rb = Corpus.robotsMap(spec)
+    val conf = ZenoConf(maxHops = 2)
+    val seeds = (0 until 8).map(h => Corpus.urlOf(h, 0))
+    def runLoop(d: String, tag: String): (CrawlLoop, Seq[graft.model.CounterRow]) = {
+      val loop = new CrawlLoop(spark, conf, tmpDir(s"store-$tag"), d, rb)
+      loop.init(seeds)
+      (loop, loop.run(3))
+    }
+    val (loopB, cB) = runLoop(dir, "bucketed")
+    val (loopP, cP) = runLoop(dir2, "plain")
+    assert(cB == cP, "bucketed and broadcast fetch paths must agree on all counters")
+    val seenOf = (l: CrawlLoop) =>
+      l.seen.select("url_hash").collect().map(_.getLong(0)).toSet
+    assert(seenOf(loopB) == seenOf(loopP), "seen sets must be identical")
+
+    // plan shape on a fresh wave over the bucketed corpus
+    val probe = new CrawlLoop(spark, conf, tmpDir("store-probe"), dir, rb)
+    probe.init(seeds)
+    val snap = probe.store.latest.get
+    val frontier = probe.store.readFrontier(spark, snap)
+    val seen = probe.store.readTable(spark, snap.seen, FrontierStore.seenDdl)
+    val host = probe.store.readTable(spark, snap.hostState, FrontierStore.hostStateDdl)
+    val logs = Wave.run(spark, conf, 1, frontier, seen, host, probe.web, rb,
+      None, checkSeenAtClaim = true)
+    val plan = logs.unified.queryExecution.executedPlan
+    val bad = PlanShapes.shufflesAbove(plan, "/web")
+    assert(bad.isEmpty, "bucketed corpus must never shuffle; offending:\n" +
+      bad.map(_.nodeName).mkString("\n"))
+    assert(PlanShapes.flatten(plan).exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.ShuffledHashJoinExec]),
+      "bucketed fetch must plan as ShuffledHashJoin (claimed side exchanges), " +
+        "not a driver-built broadcast")
+    logs.cached.foreach(_.unpersist())
+  }
 }
