@@ -86,6 +86,11 @@ object BloomShards {
     * the exact seen lookup for those rows); true falls through to the
     * exact join — required anyway because the asset→seed promotion rule
     * (seencheck.go:110-115) needs the stored kind.
+    *
+    * NOTE: prefer [[maybeSeenKeys]] in the wave hot path — the per-row UDF
+    * here extracts the joined shard's filter bytes on EVERY probe
+    * (UnsafeRow.getBinary copies ~120 KB/row at default shard sizing;
+    * measured 14 s per 2.5M probes at 8 cores, graft.tools.BloomProbeBench).
     */
   def flagMaybeSeen(rows: DataFrame, bloom: Option[Ref]): DataFrame = bloom match {
     case None => rows.withColumn("maybe_seen", lit(true))
@@ -99,6 +104,36 @@ object BloomShards {
           coalesce(probe(col("host_bucket"), col("url_hash"), col("__bloom_bytes")),
             lit(false)))
         .drop("__bloom_bytes")
+  }
+
+  /** The maybe-seen subset of `keys` (columns url_hash, host_bucket) as a
+    * one-column url_hash DataFrame — the exact-lookup key set.
+    *
+    * Co-partitioned cogroup on host_bucket: the narrow 12-byte keys
+    * shuffle (parallel, wave-sized at any scale) and each bucket's filter
+    * bytes are deserialized ONCE per group, not copied per row — the probe
+    * itself is a pure in-memory bloom test. A bucket with no shard has
+    * never seen anything → contributes no keys; with no shards at all
+    * every key falls through to the exact lookup.
+    */
+  def maybeSeenKeys(keys: DataFrame, bloom: Option[Ref]): DataFrame = {
+    val spark = keys.sparkSession
+    import spark.implicits._
+    bloom match {
+      case None => keys.select(col("url_hash"))
+      case Some(Ref(key, shards)) =>
+        val ks = keys.select(col("host_bucket").cast("int"), col("url_hash").cast("long"))
+          .as[(Int, Long)].groupByKey(_._1)
+        val ss = shards.select(col("host_bucket").cast("int"), col("bloom"))
+          .as[(Int, Array[Byte])].groupByKey(_._1)
+        ks.cogroup(ss) { (bucket, kIt, sIt) =>
+          val bf = if (sIt.hasNext) Some(cachedFilter(key, bucket, sIt.next()._2)) else None
+          bf match {
+            case None => Iterator.empty // no shard ⇒ bucket has never seen anything
+            case Some(f) => kIt.collect { case (_, h) if f.mightContainLong(h) => h }
+          }
+        }.toDF("url_hash")
+    }
   }
 
   private val filterCache =

@@ -245,22 +245,25 @@ final class CrawlLoop(
           sum(when($"row_type" === "add", 1L).otherwise(0L)).as("queued"))
         .write.partitionBy("row_type").mode("overwrite").parquet(dirs("delta")) } }
 
+    Await.result(fDelta, Duration.Inf)
     // seeds finished = claimed seeds whose live-row count (Σ of the
     // incremental ±1 deltas, including this wave's) reaches 0 — a scan of
     // the wave-sized count-delta history joined against the broadcast
-    // claimed-seed set; the frontier itself is NOT re-scanned. Runs
-    // concurrently with the delta write.
-    val fSeeds = Future { timed("seeds-finished") {
+    // claimed-seed set; the frontier itself is NOT re-scanned. Reads this
+    // wave's seedcnt delta from the WRITTEN parquet (running it
+    // concurrently from lineage would re-execute the whole finish DAG —
+    // J1 window, J2 semi/anti, J3 lookup — a second time per wave).
+    val finished = timed("seeds-finished") {
       val claimedSeeds = claimedLog.select($"seed_id").distinct()
-      store.readTable(spark, seedCountBase, FrontierStore.seedCountDdl)
-        .unionByName(seedDelta)
+      val seedCntPaths = seedCountBase ++ {
+        val p = s"${dirs("delta")}/row_type=seedcnt"
+        if (java.nio.file.Files.exists(java.nio.file.Paths.get(p))) Seq(p) else Nil
+      }
+      store.readTable(spark, seedCntPaths, FrontierStore.seedCountDdl)
         .join(broadcast(claimedSeeds), Seq("seed_id"), "left_semi")
         .groupBy($"seed_id").agg(sum($"cnt").as("n"))
         .filter($"n" <= 0)
-        .count() } }
-
-    Await.result(fDelta, Duration.Inf)
-    val finished = Await.result(fSeeds, Duration.Inf)
+        .count() }
     fin.cached.foreach(_.unpersist())
     def sub(rt: String): Seq[String] = {
       val p = s"${dirs("delta")}/row_type=$rt"

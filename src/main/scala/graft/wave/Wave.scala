@@ -152,13 +152,17 @@ object Wave {
     val checked =
       if (!checkSeenAtClaim) hashed.withColumn("is_seen", lit(false))
       else {
-        val flagged = graft.frontier.BloomShards.flagMaybeSeen(hashed, bloom)
-        val lookup = seenLookup(seen, flagged.filter($"maybe_seen"))
-        flagged.join(broadcast(lookup), Seq("url_hash"), "left")
+        // bloom pre-shrink on narrow keys (cogroup — filter bytes touched
+        // once per bucket, not per row); bloom-negatives simply miss the
+        // broadcast lookup and stay is_seen = false
+        val maybeKeys = graft.frontier.BloomShards.maybeSeenKeys(
+          hashed.select($"url_hash", $"host_bucket"), bloom)
+        val lookup = seenLookup(seen, maybeKeys)
+        hashed.join(broadcast(lookup), Seq("url_hash"), "left")
           .withColumn("is_seen",
             $"seen_kind".isNotNull &&
               !($"seen_kind" === "asset" && $"check_kind" === "seed"))
-          .drop("seen_kind", "maybe_seen")
+          .drop("seen_kind")
       }
 
     // ---- fetch (S11): INNER join, corpus always streams scan-side and
@@ -392,13 +396,14 @@ object Wave {
     val inFrontier = batchCached
       .join(broadcast(pendingHits), Seq("url_canon"), "left_anti")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val flagged = graft.frontier.BloomShards.flagMaybeSeen(inFrontier, bloom)
-    val lookup = seenLookup(seen, flagged.filter($"maybe_seen"))
-    val unique = flagged
+    val maybeKeys = graft.frontier.BloomShards.maybeSeenKeys(
+      inFrontier.select($"url_hash", $"host_bucket"), bloom)
+    val lookup = seenLookup(seen, maybeKeys)
+    val unique = inFrontier
       .join(broadcast(lookup), Seq("url_hash"), "left")
       .filter($"seen_kind".isNull ||
         ($"seen_kind" === "asset" && $"kind" === "seed"))
-      .drop("seen_kind", "maybe_seen", "url_hash")
+      .drop("seen_kind", "url_hash")
 
     // ---- seen appends: everything processed this wave (seencheck.go:98-108)
     val seenAppend = claimedLog.filter($"disposition" =!= "SEEN")
