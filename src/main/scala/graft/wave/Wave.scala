@@ -182,20 +182,31 @@ object Wave {
     val fetchable = checked.filter(!$"is_seen")
     val seenRows = checked.filter($"is_seen")
     val webR = web.withColumnRenamed("url", "page_url")
+    // Bucketed mode fuses hits AND misses into ONE pass: a left-outer
+    // ShuffledHashJoin with the claimed set as the build side (build-side
+    // outer tracking) — unmatched claimed rows surface with null corpus
+    // columns and become FAILED below, so no separate miss anti-join or
+    // union is needed. (A broadcast join cannot build the outer side —
+    // the round-1 plan bug — hence the split hits/misses path there.)
+    val bucketed = isBucketedOnUrl(web)
     val joined =
-      if (isBucketedOnUrl(web))
-        webR.join(fetchable.hint("shuffle_hash"),
-          col("page_url") === fetchable("url_canon"), "inner")
+      if (bucketed)
+        fetchable.hint("shuffle_hash")
+          .join(webR, fetchable("url_canon") === col("page_url"), "left_outer")
       else
         webR
           .withColumn("__page_hash", Udfs.fnv64($"page_url"))
           .join(broadcast(fetchable), col("__page_hash") === fetchable("url_hash"), "inner")
           .filter(col("page_url") === fetchable("url_canon"))
           .drop("__page_hash")
+    val isMiss = $"page_url".isNull // bucketed-mode connection error
     val hits = joined
-      .withColumn("status_code", coalesce($"status_code", lit(200)))
+      .withColumn("status_code",
+        when(isMiss, lit(null).cast("int"))
+          .otherwise(coalesce($"status_code", lit(200))))
       .withColumn("disposition",
-        when($"status_code" >= 400, "FAILED")
+        when(isMiss, "FAILED")
+          .when($"status_code" >= 400, "FAILED")
           .when($"status_code" >= 300, "REDIRECT")
           .otherwise("FETCHED"))
 
@@ -225,22 +236,27 @@ object Wave {
       .drop("html", "text")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // misses: claimed − hit keys (both sides small; hit keys read from the
-    // cache — the corpus is never scanned a second time)
-    val missKeys = extractedHits.select($"url_canon")
-    val missesRaw = fetchable.join(missKeys, Seq("url_canon"), "left_anti")
-    val hitTypes = extractedHits.schema.fields.map(f => f.name -> f.dataType).toMap
-    val missCols = missesRaw.columns.toSet
-    val misses = missesRaw.select(extractedHits.columns.map { c =>
-      if (missCols.contains(c)) col(c)
-      else c match {
-        case "disposition" => lit("FAILED").as(c)
-        case "do_assets" | "do_outlinks" => lit(false).as(c)
-        case "links" => array().cast(hitTypes(c)).as(c)
-        case _ => lit(null).cast(hitTypes(c)).as(c)
+    // broadcast mode only — misses: claimed − hit keys (both sides small;
+    // hit keys read from the cache, the corpus is never scanned twice).
+    // Bucketed mode already carries the misses through the left-outer join.
+    val extracted =
+      if (bucketed) extractedHits
+      else {
+        val missKeys = extractedHits.select($"url_canon")
+        val missesRaw = fetchable.join(missKeys, Seq("url_canon"), "left_anti")
+        val hitTypes = extractedHits.schema.fields.map(f => f.name -> f.dataType).toMap
+        val missCols = missesRaw.columns.toSet
+        val misses = missesRaw.select(extractedHits.columns.map { c =>
+          if (missCols.contains(c)) col(c)
+          else c match {
+            case "disposition" => lit("FAILED").as(c)
+            case "do_assets" | "do_outlinks" => lit(false).as(c)
+            case "links" => array().cast(hitTypes(c)).as(c)
+            case _ => lit(null).cast(hitTypes(c)).as(c)
+          }
+        }: _*)
+        extractedHits.unionByName(misses)
       }
-    }: _*)
-    val extracted = extractedHits.unionByName(misses)
 
     val claimedLog = extracted.select(
       $"url_canon", $"host", $"host_bucket", $"seed_id", $"kind", $"depth",
