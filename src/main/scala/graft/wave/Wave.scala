@@ -22,14 +22,18 @@ import graft.spark.Udfs
   *  - claim is ONE shuffle keyed by host; skew safety via Catalyst's
   *    WindowGroupLimit (map-side per-host limit below the exchange), so a
   *    mega-host contributes ≤ k rows per map partition (SURVEY.md §4).
-  *  - the corpus NEVER shuffles: the fetch is an INNER join with the
-  *    claimed set (bounded by hosts × budget) broadcast as the build side,
-  *    so the corpus streams scan-side. Misses (claimed URLs absent from
-  *    the corpus ≙ connection errors) are synthesized by an anti-join of
-  *    the small claimed set against the cached hit keys — a left-outer
-  *    with claimed on the left would force a SortMergeJoin with a
-  *    full-corpus Exchange (BHJ cannot build the outer side).
-  *    WavePlanSpec asserts no Exchange ever sits above the corpus scan.
+  *  - the corpus NEVER shuffles. Over a url-bucketed corpus (the
+  *    default Corpus.write layout, ≙ Iceberg bucket(N, url)) the fetch is
+  *    ONE left-outer ShuffledHashJoin building on the wave-sized claimed
+  *    side (build-side outer tracking): only the claimed rows exchange —
+  *    no driver-serial broadcast build — and unmatched claimed rows
+  *    surface as FAILED (connection errors) in the same pass. Over a
+  *    plain corpus the fetch falls back to an INNER join with the claimed
+  *    set broadcast as the build side plus a hit-key anti-join for the
+  *    misses (a left-outer there would force a full-corpus SortMergeJoin
+  *    Exchange — BHJ cannot build the outer side; the round-1 bug).
+  *    WavePlanSpec asserts no Exchange ever sits above the corpus scan in
+  *    either mode and that both modes agree on counters + seen set.
   *  - the seen set NEVER shuffles and is never re-aggregated globally: the
   *    exact check is seen ⋈ broadcast(candidate hashes) INNER (seen
   *    streams scan-side, column-pruned to url_hash/kind), aggregated to a
