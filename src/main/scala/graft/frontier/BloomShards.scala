@@ -8,8 +8,17 @@ import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 /** Partitioned Bloom-filter seen-set: ONE filter shard per hash-partitioned
   * host bucket (the north-star shape). The shard table is
   * (host_bucket, bloom: binary) — at 10^10 URLs across B buckets each shard
-  * holds |seen|/B keys, so shards stay broadcastable and are rebuilt/merged
-  * incrementally per wave, never globally.
+  * holds |seen|/B keys, so shards stay cogroup-able executor-side.
+  *
+  * The shard set is LAYERED, Iceberg-style: a BASE table (full filters,
+  * sized for the long-run seen set) plus per-wave DELTA tables holding one
+  * small filter per bucket the wave touched, sized to the wave's actual
+  * per-bucket key count — per-wave bloom write bytes are ∝ WAVE size, not
+  * total-filter size (a full merge at 10^10 seen / 1% fpp would move
+  * ~12 GB per wave). A probe tests base + all deltas (any-match); deltas
+  * are never bitwise-merged (their bit arrays differ in size), instead the
+  * base is REBUILT from the seen table when the layer list fragments —
+  * co-scheduled with seen compaction, which scans the same rows anyway.
   *
   * The Bloom is a PRE-filter: a negative proves "never seen" and skips the
   * exact seen-set join entirely; positives (including false positives at
@@ -21,8 +30,8 @@ object BloomShards {
 
   val ShardDdl = "host_bucket int, bloom binary"
 
-  /** Build shards from (host_bucket, url_hash) rows via mapGroups — each
-    * group builds one sketch executor-side; only the ~1 MB filter bytes
+  /** Build BASE shards from (host_bucket, url_hash) rows via mapGroups —
+    * each group builds one sketch executor-side; only the filter bytes
     * move to the shard table.
     */
   def build(spark: SparkSession, hashes: DataFrame,
@@ -39,64 +48,45 @@ object BloomShards {
       .toDF("host_bucket", "bloom")
   }
 
-  /** Merge existing shards with a wave's new hashes (incremental update —
-    * the old filter bytes are OR-compatible via mergeInPlace).
+  /** Build a per-wave DELTA shard table from the wave's new hashes: one
+    * filter per TOUCHED bucket, sized to that bucket's actual key count
+    * (floored so tiny waves don't produce degenerate filters). Buckets the
+    * wave did not touch get no row — their existing layers stay authoritative.
     */
-  def merge(spark: SparkSession, shards: DataFrame, newHashes: DataFrame,
-            expectedPerShard: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
+  def buildDelta(spark: SparkSession, newHashes: DataFrame,
+                 fpp: Double = 0.01, minExpected: Long = 1024L): DataFrame = {
     import spark.implicits._
-    val old = shards.select(col("host_bucket").cast("int"), col("bloom"))
-      .as[(Int, Array[Byte])].map { case (b, bytes) => (b, bytes, 0L) }
-    val fresh = newHashes.select(col("host_bucket").cast("int"), col("url_hash").cast("long"))
-      .as[(Int, Long)].map { case (b, h) => (b, null.asInstanceOf[Array[Byte]], h) }
-    old.union(fresh)
+    newHashes.select(col("host_bucket").cast("int"), col("url_hash").cast("long"))
+      .as[(Int, Long)]
       .groupByKey(_._1)
       .mapGroups { (bucket, rows) =>
-        var bf: BloomFilter = null
-        val pending = scala.collection.mutable.ArrayBuffer.empty[Long]
-        rows.foreach {
-          case (_, bytes, _) if bytes != null =>
-            val f = deserialize(bytes)
-            if (bf == null) bf = f else bf.mergeInPlace(f)
-          case (_, _, h) => if (bf == null) pending += h else bf.putLong(h)
-        }
-        if (bf == null) bf = BloomFilter.create(expectedPerShard, fpp)
-        pending.foreach(bf.putLong)
+        val hs = rows.map(_._2).toArray
+        val bf = BloomFilter.create(math.max(minExpected, hs.length.toLong), fpp)
+        hs.foreach(bf.putLong)
         (bucket, serialize(bf))
       }
       .toDF("host_bucket", "bloom")
   }
 
-  /** Handle to a committed shard table: the cache key (snapshot paths) +
-    * the shard DataFrame. Nothing collects to the driver — the filter
-    * bytes move executor-to-executor through the co-partitioned join in
-    * [[flagMaybeSeen]].
+  /** Handle to a committed shard layer set: the cache key (snapshot paths)
+    * + the shard DataFrame (base ∪ deltas — multiple rows per bucket).
+    * Nothing collects to the driver — the filter bytes move
+    * executor-to-executor through the cogroup in [[maybeSeenKeys]].
     */
   final case class Ref(key: String, shards: DataFrame)
 
   /** Pre-filter candidate rows against the shards WITHOUT a driver collect
-    * or closure shipping: a plain equi-join on host_bucket (shards and
-    * candidates share the key — broadcast at sandbox sizing, a
-    * co-partitioned shuffle of the *candidates only* at 10^10 sizing; the
-    * ~1 MB filter bytes travel the data plane, not the task binary), then
-    * a per-row membership probe that deserializes each shard once per
-    * executor via the keyed cache.
-    *
-    * Adds column `maybe_seen`: false PROVES never-seen (the caller skips
-    * the exact seen lookup for those rows); true falls through to the
-    * exact join — required anyway because the asset→seed promotion rule
-    * (seencheck.go:110-115) needs the stored kind.
-    *
-    * NOTE: prefer [[maybeSeenKeys]] in the wave hot path — the per-row UDF
-    * here extracts the joined shard's filter bytes on EVERY probe
-    * (UnsafeRow.getBinary copies ~120 KB/row at default shard sizing;
-    * measured 14 s per 2.5M probes at 8 cores, graft.tools.BloomProbeBench).
+    * or closure shipping. NOTE: kept as the measured 20×-slower comparison
+    * baseline for BloomProbeBench (per-row UnsafeRow.getBinary copies the
+    * full filter bytes on every probe) — assumes a SINGLE shard row per
+    * bucket; the hot path is [[maybeSeenKeys]], which folds layered shards.
     */
   def flagMaybeSeen(rows: DataFrame, bloom: Option[Ref]): DataFrame = bloom match {
     case None => rows.withColumn("maybe_seen", lit(true))
     case Some(Ref(key, shards)) =>
       val probe = udf((bucket: Int, hash: Long, bytes: Array[Byte]) =>
-        bytes != null && cachedFilter(key, bucket, bytes).mightContainLong(hash))
+        bytes != null &&
+          cachedFilters(key, bucket, Iterator(bytes)).exists(_.mightContainLong(hash)))
       rows
         .join(shards.select(col("host_bucket").cast("int").as("host_bucket"),
           col("bloom").as("__bloom_bytes")), Seq("host_bucket"), "left")
@@ -111,10 +101,11 @@ object BloomShards {
     *
     * Co-partitioned cogroup on host_bucket: the narrow 12-byte keys
     * shuffle (parallel, wave-sized at any scale) and each bucket's filter
-    * bytes are deserialized ONCE per group, not copied per row — the probe
-    * itself is a pure in-memory bloom test. A bucket with no shard has
-    * never seen anything → contributes no keys; with no shards at all
-    * every key falls through to the exact lookup.
+    * layers are deserialized ONCE per group — the probe itself is a pure
+    * in-memory test against every layer (base + per-wave deltas; a key is
+    * maybe-seen if ANY layer might contain it). A bucket with no shard
+    * rows has never seen anything → contributes no keys; with no shards at
+    * all every key falls through to the exact lookup.
     */
   def maybeSeenKeys(keys: DataFrame, bloom: Option[Ref]): DataFrame = {
     val spark = keys.sparkSession
@@ -127,20 +118,24 @@ object BloomShards {
         val ss = shards.select(col("host_bucket").cast("int"), col("bloom"))
           .as[(Int, Array[Byte])].groupByKey(_._1)
         ks.cogroup(ss) { (bucket, kIt, sIt) =>
-          val bf = if (sIt.hasNext) Some(cachedFilter(key, bucket, sIt.next()._2)) else None
-          bf match {
-            case None => Iterator.empty // no shard ⇒ bucket has never seen anything
-            case Some(f) => kIt.collect { case (_, h) if f.mightContainLong(h) => h }
-          }
+          val fs = cachedFilters(key, bucket, sIt.map(_._2))
+          if (fs.isEmpty) Iterator.empty // no layers ⇒ bucket never saw anything
+          else kIt.collect { case (_, h) if fs.exists(_.mightContainLong(h)) => h }
         }.toDF("url_hash")
     }
   }
 
+  /** Executor-local deserialized-layer cache, keyed by (snapshot paths,
+    * bucket) — each task deserializes a bucket's layers at most once per
+    * snapshot. The bytes iterator is consumed only on a cache miss.
+    */
   private val filterCache =
-    scala.collection.concurrent.TrieMap.empty[(String, Int), BloomFilter]
-  private def cachedFilter(key: String, bucket: Int, bytes: Array[Byte]): BloomFilter = {
+    scala.collection.concurrent.TrieMap.empty[(String, Int), Seq[BloomFilter]]
+  private def cachedFilters(key: String, bucket: Int,
+                            bytes: Iterator[Array[Byte]]): Seq[BloomFilter] = {
     if (filterCache.size > 4096) filterCache.clear() // old snapshots' entries
-    filterCache.getOrElseUpdate((key, bucket), deserialize(bytes))
+    filterCache.getOrElseUpdate((key, bucket),
+      bytes.filter(_ != null).map(deserialize).toSeq)
   }
 
   def serialize(bf: BloomFilter): Array[Byte] = {

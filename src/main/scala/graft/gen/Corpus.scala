@@ -241,11 +241,16 @@ object Corpus {
       .option("path", s"$dir/web")
       .saveAsTable(tbl)
     // sidecar so other sessions/JVMs can re-register the bucket spec
-    // (≙ the table metadata a shared catalog would hold on a cluster)
+    // (≙ the table metadata a shared catalog would hold on a cluster);
+    // serialized with Jackson so any future column name/type is escaped
+    // correctly (hand-built interpolation only handled double-quotes)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.createObjectNode()
+    node.put("numBuckets", buckets)
+    node.put("schema", web.schema.toDDL)
     java.nio.file.Files.write(
       java.nio.file.Paths.get(s"$dir/web_bucketspec.json"),
-      s"""{"numBuckets":$buckets,"schema":"${web.schema.toDDL.replace("\"", "\\\"")}"}"""
-        .getBytes("UTF-8"))
+      mapper.writeValueAsBytes(node))
   }
 
   /** Bucket count for the web table: enough for full scan parallelism at
@@ -254,8 +259,16 @@ object Corpus {
   def webBuckets(spec: Spec): Int =
     math.min(512, math.max(32, (spec.nPages / 20000L).toInt)).toInt
 
-  def tableNameFor(dir: String): String =
-    "zeno_web_" + math.abs(dir.hashCode).toString
+  /** Catalog table name for a corpus dir: full-width SHA-1 of the absolute
+    * path, so distinct dirs can never collide (Int.hashCode could — and
+    * abs(Int.MinValue) is negative, an invalid identifier).
+    */
+  def tableNameFor(dir: String): String = {
+    val abs = java.nio.file.Paths.get(dir).toAbsolutePath.normalize.toString
+    val sha = java.security.MessageDigest.getInstance("SHA-1")
+      .digest(abs.getBytes("UTF-8"))
+    "zeno_web_" + sha.map(b => f"$b%02x").mkString
+  }
 
   def pages(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/pages")

@@ -47,6 +47,19 @@ final class CrawlLoop(
       val buckets = node.path("numBuckets").asInt()
       val schema = node.path("schema").asText()
       val tbl = graft.gen.Corpus.tableNameFor(corpusDir)
+      // a pre-existing registration must actually describe THIS corpus:
+      // verify location + bucket count against the sidecar, recreate on any
+      // mismatch (stale catalog entries would silently crawl the wrong data)
+      if (spark.catalog.tableExists(tbl)) {
+        val meta = spark.sessionState.catalog.getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(tbl))
+        val locOk = meta.storage.locationUri.exists { u =>
+          java.nio.file.Paths.get(u.getPath).toAbsolutePath.normalize ==
+            java.nio.file.Paths.get(s"$corpusDir/web").toAbsolutePath.normalize
+        }
+        val bucketsOk = meta.bucketSpec.exists(_.numBuckets == buckets)
+        if (!locOk || !bucketsOk) spark.sql(s"DROP TABLE $tbl")
+      }
       if (!spark.catalog.tableExists(tbl))
         spark.sql(s"CREATE TABLE $tbl ($schema) USING parquet " +
           s"CLUSTERED BY (url) INTO $buckets BUCKETS LOCATION '$corpusDir/web'")
@@ -150,20 +163,24 @@ final class CrawlLoop(
     val hostDf = store.readTable(spark, snap.hostState, FrontierStore.hostStateDdl)
 
     // partitioned Bloom seen-filter shards (north-star): referenced as a
-    // DataFrame and equi-joined on host_bucket — nothing collects
-    val bloomRef: Option[BloomShards.Ref] =
-      if (!conf.useBloomSeenFilter) None
-      else if (snap.bloom.nonEmpty)
-        Some(BloomShards.Ref(snap.bloom.mkString(","),
-          store.readTable(spark, snap.bloom, BloomShards.ShardDdl)))
+    // DataFrame and cogrouped on host_bucket — nothing collects. The layer
+    // list (base + per-wave deltas) carries forward; this wave appends its
+    // own delta below.
+    val bloomBase: Seq[String] =
+      if (!conf.useBloomSeenFilter) Nil
+      else if (snap.bloom.nonEmpty) snap.bloom
       else if (snap.seen.nonEmpty) {
         // resume into a store without shards: rebuild from the full seen set
         val rebuilt = BloomShards.build(spark,
           seenDf, conf.bloomExpectedPerShard, conf.bloomFpp)
         val dir = store.newTableDir(wave, "bloom-rebuild")
         rebuilt.write.mode("overwrite").parquet(dir)
-        Some(BloomShards.Ref(dir, spark.read.parquet(dir)))
-      } else None // fresh store: nothing seen yet — exact lookup is a no-op
+        Seq(dir)
+      } else Nil
+    val bloomRef: Option[BloomShards.Ref] =
+      if (bloomBase.isEmpty) None
+      else Some(BloomShards.Ref(bloomBase.mkString(","),
+        store.readTable(spark, bloomBase, BloomShards.ShardDdl))) // fresh store: nothing seen yet — exact lookup is a no-op
 
     val logs = Wave.run(spark, conf, wave, frontierDf, seenDf, hostDf,
       web, robots, bloomRef, checkSeenAtClaim = firstStep)
@@ -203,25 +220,15 @@ final class CrawlLoop(
     val fin =
       Wave.finish(spark, conf, wave, frontierDf, seenDf, claimedLog, candLog, bloomRef)
 
-    import scala.concurrent.{Future, Await, ExecutionContext}
-    import scala.concurrent.duration.Duration
-    implicit val ec: ExecutionContext = CrawlLoop.waveEc
-
     val deletes = claimedLog.select($"url_canon", lit(wave.toLong).as("del_wave"))
     val hostNext = Wave.nextHostState(spark, conf, wave, hostDf, claimedLog)
+    // per-wave Bloom DELTA shards: one small filter per bucket this wave
+    // touched (write/shuffle bytes ∝ wave size — a full shard merge would
+    // move the entire filter set, ~12 GB/wave at 10^10 seen). Layers fold
+    // only when the list fragments, from the already-compacted seen table.
     val bloomNext: Option[DataFrame] =
       if (!conf.useBloomSeenFilter) None
-      else {
-        val oldShards =
-          if (snap.bloom.nonEmpty)
-            store.readTable(spark, snap.bloom, BloomShards.ShardDdl)
-          else spark.emptyDataFrame
-            .withColumn("host_bucket", lit(0))
-            .withColumn("bloom", lit(null).cast("binary"))
-            .limit(0)
-        Some(BloomShards.merge(spark, oldShards, fin.seenAppend,
-          conf.bloomExpectedPerShard, conf.bloomFpp))
-      }
+      else Some(BloomShards.buildDelta(spark, fin.seenAppend, conf.bloomFpp))
     // per-seed live-row count delta: −1 per claim, +1 per enqueue
     val seedDelta = claimedLog.groupBy($"seed_id").agg((-count(lit(1))).as("cnt"))
       .unionByName(fin.enqueued.groupBy($"seed_id").agg(count(lit(1)).as("cnt")))
@@ -240,12 +247,10 @@ final class CrawlLoop(
         "host" -> hostNext, "seedcnt" -> seedDelta) ++ bloomNext.map("bloom" -> _))
 
     val obsEnq = new org.apache.spark.sql.Observation(s"delta-$wave")
-    val fDelta = Future { timed("delta-write") {
+    timed("delta-write") {
       delta.observe(obsEnq,
           sum(when($"row_type" === "add", 1L).otherwise(0L)).as("queued"))
-        .write.partitionBy("row_type").mode("overwrite").parquet(dirs("delta")) } }
-
-    Await.result(fDelta, Duration.Inf)
+        .write.partitionBy("row_type").mode("overwrite").parquet(dirs("delta")) }
     // seeds finished = claimed seeds whose live-row count (Σ of the
     // incremental ±1 deltas, including this wave's) reaches 0 — a scan of
     // the wave-sized count-delta history joined against the broadcast
@@ -271,7 +276,6 @@ final class CrawlLoop(
     }
     val dataPaths = snap.frontier ++ sub("add")
     val delPaths = snap.frontierDeletes ++ sub("del")
-    val bloomPaths = if (conf.useBloomSeenFilter) sub("bloom") else Nil
     val hostPaths = if (sub("host").nonEmpty) sub("host") else snap.hostState
 
     def m(o: org.apache.spark.sql.Observation, k: String): Long =
@@ -316,6 +320,21 @@ final class CrawlLoop(
           .write.mode("overwrite").parquet(compacted)
         Seq(compacted)
       } else seenPaths0
+
+    // bloom layer fold when fragmented: rebuild the base shards from the
+    // (just-compacted) seen table — layers of different filter sizes can't
+    // merge bitwise, and the seen scan is already paid by seen compaction
+    val bloomPaths0 = bloomBase ++ sub("bloom")
+    val bloomPaths =
+      if (!conf.useBloomSeenFilter) Nil
+      else if (bloomPaths0.length > 16) {
+        val folded = store.newTableDir(wave, "bloom-fold")
+        BloomShards.build(spark,
+          store.readTable(spark, seenPaths, FrontierStore.seenDdl),
+          conf.bloomExpectedPerShard, conf.bloomFpp)
+          .write.mode("overwrite").parquet(folded)
+        Seq(folded)
+      } else bloomPaths0
 
     // seed-count compaction: fold the ± deltas, drop drained seeds
     val seedPaths0 = seedCountBase ++ sub("seedcnt")
