@@ -155,6 +155,15 @@ final class FrontierStore(val workDir: String) {
     * The delete side is bounded by the compaction threshold × wave size
     * and broadcasts; the base never shuffles. At 10^10 scale the same
     * shape maps to Iceberg positional/equality deletes applied scan-side.
+    *
+    * The broadcast is keyed on the 8-byte fnv64 of the URL, not the URL
+    * string: the driver-side hash-relation build is the serial cost paid
+    * on EVERY frontier read (claim query + finish query per wave), and a
+    * LongHashedRelation builds several times faster than a string-keyed
+    * one at millions of accumulated deletes. Hash collisions are handled
+    * exactly: each key carries its (url_canon, del_wave) entries and the
+    * mask re-checks URL equality per entry, so the build stays unique per
+    * key (no row multiplication) and results are byte-identical.
     */
   def readFrontierAt(spark: SparkSession, dataPaths: Seq[String],
                      deletePaths: Seq[String]): DataFrame = {
@@ -162,10 +171,16 @@ final class FrontierStore(val workDir: String) {
     if (deletePaths.isEmpty) base
     else {
       val dels = readTable(spark, deletePaths, FrontierStore.frontierDeleteDdl)
-        .groupBy(col("url_canon")).agg(max(col("del_wave")).as("__del_wave"))
-      base.join(broadcast(dels), Seq("url_canon"), "left")
-        .filter(col("__del_wave").isNull || col("ts") >= col("__del_wave"))
-        .drop("__del_wave")
+        .groupBy(graft.spark.Udfs.fnv64(col("url_canon")).as("__del_hash"))
+        .agg(collect_list(struct(col("url_canon").as("u"),
+          col("del_wave").as("w"))).as("__dels"))
+      base
+        .join(broadcast(dels),
+          graft.spark.Udfs.fnv64(base("url_canon")) === dels("__del_hash"), "left")
+        .filter(col("__dels").isNull ||
+          !exists(col("__dels"),
+            d => d("u") === col("url_canon") && col("ts") < d("w")))
+        .drop("__del_hash", "__dels")
     }
   }
 
