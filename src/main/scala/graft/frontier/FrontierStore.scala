@@ -50,7 +50,8 @@ final class FrontierStore(val workDir: String) {
       bloom: Seq[String] = Nil, // Bloom shard table paths
       waveCounters: Map[String, Long] = Map.empty, // this wave's counters (lineage)
       frontierDeletes: Seq[String] = Nil, // merge-on-read delete files
-      seedCounts: Seq[String] = Nil // per-seed live-row count deltas
+      seedCounts: Seq[String] = Nil, // per-seed live-row count deltas
+      isCompaction: Boolean = false // view-preserving rewrite, no wave counters
   )
 
   /** List a directory's file names, closing the stream (long crawl loops
@@ -84,7 +85,8 @@ final class FrontierStore(val workDir: String) {
     Snapshot(version, node.get("wave").asInt(), arr("frontier"), arr("seen"),
       arr("host_state"), arr("counters"),
       if (node.has("frontier_rows")) node.get("frontier_rows").asLong() else -1L,
-      arr("bloom"), waveCounters, arr("frontier_deletes"), arr("seed_counts"))
+      arr("bloom"), waveCounters, arr("frontier_deletes"), arr("seed_counts"),
+      node.has("compaction") && node.get("compaction").asBoolean())
   }
 
   /** All snapshots in version order (lineage walk). */
@@ -103,12 +105,14 @@ final class FrontierStore(val workDir: String) {
              waveCounters: Map[String, Long] = Map.empty,
              frontierDeletes: Seq[String] = Nil,
              atVersion: Option[Int] = None,
-             seedCounts: Seq[String] = Nil): Snapshot = {
+             seedCounts: Seq[String] = Nil,
+             isCompaction: Boolean = false): Snapshot = {
     val version = atVersion.getOrElse(latest.map(_.version + 1).getOrElse(0))
     val node: ObjectNode = mapper.createObjectNode()
     node.put("wave", wave)
     node.put("version", version)
     node.put("frontier_rows", frontierRows)
+    if (isCompaction) node.put("compaction", true)
     def put(field: String, paths: Seq[String]): Unit = {
       val a = node.putArray(field)
       paths.foreach(a.add)
@@ -134,7 +138,7 @@ final class FrontierStore(val workDir: String) {
         throw new FrontierStore.CommitConflict(version)
     } finally Files.deleteIfExists(tmp)
     Snapshot(version, wave, frontier, seen, hostState, counters, frontierRows,
-      bloom, waveCounters, frontierDeletes, seedCounts)
+      bloom, waveCounters, frontierDeletes, seedCounts, isCompaction)
   }
 
   /** Fresh parquet output dir for a table at a wave. */

@@ -114,10 +114,12 @@ final class CrawlLoop(
     val snap = store.latest.getOrElse(sys.error("store not initialized"))
     store.readTable(spark, snap.seen, FrontierStore.seenDdl)
   }
-  /** Per-wave counters, reconstructed from the snapshot lineage. */
+  /** Per-wave counters, reconstructed from the snapshot lineage
+    * (compaction snapshots are view-preserving rewrites, not waves).
+    */
   def counters: DataFrame = {
     import spark.implicits._
-    store.history.filter(_.wave > 0).map { s =>
+    store.history.filter(s => s.wave > 0 && !s.isCompaction).map { s =>
       val c = s.waveCounters
       CounterRow(s.wave, c.getOrElse("claimed", 0L), c.getOrElse("fetched", 0L),
         c.getOrElse("failed", 0L), c.getOrElse("deduped", 0L),
@@ -295,72 +297,188 @@ final class CrawlLoop(
       queued = queued,
       seeds_finished = finished)
 
-    // frontier compaction when the file lists fragment: fold the deletes
-    // into a single rewritten base (the Iceberg rewrite_data_files seam —
-    // at scale this is per-partition and off the wave critical path)
-    val (fPaths, fDelPaths) =
-      if (dataPaths.length + delPaths.length > 16) {
-        val compacted = store.newTableDir(wave, "frontier-compact")
-        timed("frontier-compact") {
-          store.readFrontierAt(spark, dataPaths, delPaths)
-            .repartition(col("host_bucket"))
-            .write.mode("overwrite").parquet(compacted) }
-        (Seq(compacted), Nil: Seq[String])
-      } else (dataPaths, delPaths)
-
-    // seen compaction when fragmented — emits the pre-aggregated distinct
-    // (url_hash, max kind) form so later scans shrink
-    val seenPaths0 = snap.seen ++ sub("seen")
-    val seenPaths =
-      if (seenPaths0.length > 16) {
-        val compacted = store.newTableDir(wave, "seen-compact")
-        store.readTable(spark, seenPaths0, FrontierStore.seenDdl)
+    // SAFETY VALVE: compaction normally runs in the BACKGROUND between
+    // waves (maybeCompact, the Iceberg rewrite_data_files seam) — a wave
+    // never stalls on a full-table rewrite. Only if the compactor has
+    // fallen far behind (starved, crashed) does the wave fold inline, so
+    // the delete-mask broadcast and scan fan-in stay bounded.
+    val valve = CrawlLoop.valveThreshold
+    val valveFired =
+      dataPaths.length + delPaths.length > valve ||
+        (snap.seen ++ sub("seen")).length > valve ||
+        (seedCountBase ++ sub("seedcnt")).length > valve ||
+        (bloomBase ++ sub("bloom")).length > valve
+    val (fPaths, fDelPaths, seenPathsV, bloomPathsV, seedPathsV) =
+      if (!valveFired)
+        (dataPaths, delPaths, snap.seen ++ sub("seen"),
+          bloomBase ++ sub("bloom"), seedCountBase ++ sub("seedcnt"))
+      else timed("valve-compact") {
+        val f = store.newTableDir(wave, "frontier-compact")
+        store.readFrontierAt(spark, dataPaths, delPaths)
+          .repartition(col("host_bucket"))
+          .write.mode("overwrite").parquet(f)
+        val se = store.newTableDir(wave, "seen-compact")
+        store.readTable(spark, snap.seen ++ sub("seen"), FrontierStore.seenDdl)
           .groupBy($"url_hash", $"host_bucket").agg(max($"kind").as("kind"))
           .select($"url_hash", $"kind", $"host_bucket")
-          .write.mode("overwrite").parquet(compacted)
-        Seq(compacted)
-      } else seenPaths0
-
-    // bloom layer fold when fragmented: rebuild the base shards from the
-    // (just-compacted) seen table — layers of different filter sizes can't
-    // merge bitwise, and the seen scan is already paid by seen compaction
-    val bloomPaths0 = bloomBase ++ sub("bloom")
-    val bloomPaths =
-      if (!conf.useBloomSeenFilter) Nil
-      else if (bloomPaths0.length > 16) {
-        val folded = store.newTableDir(wave, "bloom-fold")
-        BloomShards.build(spark,
-          store.readTable(spark, seenPaths, FrontierStore.seenDdl),
-          conf.bloomExpectedPerShard, conf.bloomFpp)
-          .write.mode("overwrite").parquet(folded)
-        Seq(folded)
-      } else bloomPaths0
-
-    // seed-count compaction: fold the ± deltas, drop drained seeds
-    val seedPaths0 = seedCountBase ++ sub("seedcnt")
-    val seedPaths =
-      if (seedPaths0.length > 16) {
-        val compacted = store.newTableDir(wave, "seedcnt-compact")
-        store.readTable(spark, seedPaths0, FrontierStore.seedCountDdl)
+          .write.mode("overwrite").parquet(se)
+        val bl =
+          if (!conf.useBloomSeenFilter) Nil
+          else {
+            val folded = store.newTableDir(wave, "bloom-fold")
+            BloomShards.build(spark,
+              store.readTable(spark, Seq(se), FrontierStore.seenDdl),
+              conf.bloomExpectedPerShard, conf.bloomFpp)
+              .write.mode("overwrite").parquet(folded)
+            Seq(folded)
+          }
+        val sc = store.newTableDir(wave, "seedcnt-compact")
+        store.readTable(spark, seedCountBase ++ sub("seedcnt"), FrontierStore.seedCountDdl)
           .groupBy($"seed_id").agg(sum($"cnt").as("cnt"))
           .filter($"cnt" > 0)
-          .write.mode("overwrite").parquet(compacted)
-        Seq(compacted)
-      } else seedPaths0
+          .write.mode("overwrite").parquet(sc)
+        (Seq(f), Nil: Seq[String], Seq(se), bl, Seq(sc))
+      }
 
-    store.commit(wave, fPaths, seenPaths,
-      hostPaths, Nil,
-      newRows, bloomPaths,
-      Map("claimed" -> counterRow.claimed, "fetched" -> counterRow.fetched,
-        "failed" -> counterRow.failed, "deduped" -> counterRow.deduped,
-        "excluded" -> counterRow.excluded, "queued" -> counterRow.queued,
-        "seeds_finished" -> counterRow.seeds_finished),
-      frontierDeletes = fDelPaths,
-      seedCounts = seedPaths)
+    val wcMap = Map(
+      "claimed" -> counterRow.claimed, "fetched" -> counterRow.fetched,
+      "failed" -> counterRow.failed, "deduped" -> counterRow.deduped,
+      "excluded" -> counterRow.excluded, "queued" -> counterRow.queued,
+      "seeds_finished" -> counterRow.seeds_finished)
+
+    // Commit with compaction-aware rebase: if the background compactor
+    // landed a (view-preserving) snapshot while this wave was computing,
+    // re-derive the path lists on top of it — the wave's deltas are
+    // view-level facts, valid over any equivalent base. External writers
+    // keep the pre-existing OCC semantics (ProtocolSpec).
+    var committed: Option[store.Snapshot] = None
+    while (committed.isEmpty) {
+      val l = store.latest.getOrElse(snap)
+      val base =
+        if (l.version != snap.version && l.isCompaction && !valveFired) l else snap
+      val (cF, cD, cSe, cBl, cSc) =
+        if (valveFired || base.version == snap.version)
+          (fPaths, fDelPaths, seenPathsV, bloomPathsV, seedPathsV)
+        else (
+          base.frontier ++ sub("add"),
+          base.frontierDeletes ++ sub("del"),
+          base.seen ++ sub("seen"),
+          (if (base.bloom.nonEmpty) base.bloom else bloomBase) ++ sub("bloom"),
+          (if (base.seedCounts.nonEmpty) base.seedCounts else seedCountBase)
+            ++ sub("seedcnt"))
+      try committed = Some(store.commit(wave, cF, cSe, hostPaths, Nil, newRows,
+        if (conf.useBloomSeenFilter) cBl else Nil, wcMap,
+        frontierDeletes = cD, atVersion = Some(l.version + 1), seedCounts = cSc))
+      catch { case _: FrontierStore.CommitConflict => () } // re-read, retry
+    }
+    maybeCompact(committed.get)
     Some(counterRow)
   }
 
-  /** Run until auto-finish or maxWaves. */
+  // ---- background compaction (off the wave critical path) ----
+
+  @volatile private var compactionInFlight: Option[scala.concurrent.Future[Unit]] = None
+
+  /** Block until any in-flight background compaction has committed (or
+    * failed). Called at the end of run() so callers observe a quiescent
+    * store; never called inside the wave loop.
+    */
+  def awaitBackgroundWork(): Unit = compactionInFlight.foreach { f =>
+    scala.concurrent.Await.ready(f, scala.concurrent.duration.Duration.Inf)
+  }
+
+  /** Kick off a background fold of fragmented tables from the committed
+    * snapshot `s`. At most one compactor runs per loop; its commit rebases
+    * onto any waves that landed meanwhile (Iceberg rewrite_data_files
+    * semantics: a compaction only swaps files it read for their folded
+    * equivalent, carrying every newer delta forward untouched).
+    */
+  private def maybeCompact(s: store.Snapshot): Unit = {
+    val t = CrawlLoop.compactThreshold
+    val fragmented = s.frontier.length + s.frontierDeletes.length > t ||
+      s.seen.length > t || s.seedCounts.length > t || s.bloom.length > t
+    if (!fragmented || compactionInFlight.exists(!_.isCompleted)) return
+    implicit val ec: scala.concurrent.ExecutionContext = CrawlLoop.waveEc
+    compactionInFlight = Some(scala.concurrent.Future {
+      try compactFrom(s)
+      catch { case e: Throwable =>
+        System.err.println(s"[compactor] wave ${s.wave} failed: $e")
+      }
+    })
+  }
+
+  /** Rewrite the fragmented tables of snapshot `s` into folded form, then
+    * commit with a CAS-rebase loop. All rewrites preserve the live view
+    * exactly: frontier folds its delete files in, seen collapses to
+    * (url_hash, max kind), seed counts fold their ± deltas, the Bloom base
+    * is rebuilt from the folded seen rows (delta layers of differing
+    * filter sizes cannot merge bitwise).
+    */
+  private def compactFrom(s: store.Snapshot): Unit = {
+    val w = s.wave
+    val fDir = store.newTableDir(w, "bg-frontier-compact")
+    store.readFrontierAt(spark, s.frontier, s.frontierDeletes)
+      .repartition(col("host_bucket"))
+      .write.mode("overwrite").parquet(fDir)
+    val seenDir = store.newTableDir(w, "bg-seen-compact")
+    store.readTable(spark, s.seen, FrontierStore.seenDdl)
+      .groupBy($"url_hash", $"host_bucket").agg(max($"kind").as("kind"))
+      .select($"url_hash", $"kind", $"host_bucket")
+      .write.mode("overwrite").parquet(seenDir)
+    val seedDirs =
+      if (s.seedCounts.isEmpty) Nil
+      else {
+        val d = store.newTableDir(w, "bg-seedcnt-compact")
+        store.readTable(spark, s.seedCounts, FrontierStore.seedCountDdl)
+          .groupBy($"seed_id").agg(sum($"cnt").as("cnt"))
+          .filter($"cnt" > 0)
+          .write.mode("overwrite").parquet(d)
+        Seq(d)
+      }
+    val bloomDirs =
+      if (!conf.useBloomSeenFilter || s.bloom.isEmpty) Nil
+      else {
+        val d = store.newTableDir(w, "bg-bloom-fold")
+        BloomShards.build(spark, store.readTable(spark, Seq(seenDir), FrontierStore.seenDdl),
+          conf.bloomExpectedPerShard, conf.bloomFpp)
+          .write.mode("overwrite").parquet(d)
+        Seq(d)
+      }
+
+    // CAS-rebase commit: swap s's file lists for the folded dirs, keep
+    // every path added after s. Abort if anything of s's lists has already
+    // been folded by someone else (the inline safety valve) — the folded
+    // dirs would double-count rows.
+    var done = false
+    while (!done) {
+      val l = store.latest.getOrElse(s)
+      def subsetOk(a: Seq[String], b: Seq[String]) = a.toSet.subsetOf(b.toSet)
+      if (!subsetOk(s.frontier, l.frontier) ||
+          !subsetOk(s.frontierDeletes, l.frontierDeletes) ||
+          !subsetOk(s.seen, l.seen) || !subsetOk(s.seedCounts, l.seedCounts) ||
+          !subsetOk(s.bloom, l.bloom)) return
+      def rebase(folded: Seq[String], old: Seq[String], cur: Seq[String]) =
+        folded ++ cur.filterNot(old.toSet)
+      try {
+        store.commit(l.wave,
+          rebase(Seq(fDir), s.frontier, l.frontier),
+          rebase(Seq(seenDir), s.seen, l.seen),
+          l.hostState, Nil, l.frontierRows,
+          rebase(bloomDirs, s.bloom, l.bloom),
+          Map.empty,
+          frontierDeletes = l.frontierDeletes.filterNot(s.frontierDeletes.toSet),
+          atVersion = Some(l.version + 1),
+          seedCounts = rebase(seedDirs, s.seedCounts, l.seedCounts),
+          isCompaction = true)
+        done = true
+      } catch { case _: FrontierStore.CommitConflict => () } // re-read, retry
+    }
+  }
+
+  /** Run until auto-finish or maxWaves. Waits for any in-flight
+    * background compaction before returning (never inside the loop), so
+    * callers observe a quiescent store.
+    */
   def run(maxWaves: Int): Seq[CounterRow] = {
     val acc = scala.collection.mutable.ArrayBuffer.empty[CounterRow]
     var continue = true
@@ -370,11 +488,19 @@ final class CrawlLoop(
         case None => continue = false
       }
     }
+    awaitBackgroundWork()
     acc.toSeq
   }
 }
 
 object CrawlLoop {
+  /** File-list length at which the BACKGROUND compactor kicks in. */
+  val compactThreshold = 12
+  /** File-list length at which a wave folds INLINE (compactor starved —
+    * keeps the delete-mask broadcast and scan fan-in bounded even then).
+    */
+  val valveThreshold = 64
+
   /** Union heterogeneous per-wave delta tables into ONE row_type-tagged
     * DataFrame (absent columns null-padded), so a single
     * partitionBy(row_type) write replaces five separate write jobs. The

@@ -128,6 +128,71 @@ class ProtocolSpec extends AnyFunSuite {
     assert(reopened.run(2).nonEmpty, "crawl resumes over the vacuumed store")
   }
 
+  test("soak: 30+ waves with background compaction — bounded fragmentation, " +
+    "constant per-wave write bytes, resume across compaction boundaries") {
+    val corpus = tmpDir("corpus")
+    val n = 35
+    // a chain crawls one URL per wave (each page reveals only the next),
+    // plus a link back to p0 so the seen/dedupe path fires every wave
+    val pages = (0 until n).map { i =>
+      val links = (if (i + 1 < n) Seq(s"http://chain.com/p${i + 1}") else Nil) ++
+        Seq("http://chain.com/p0")
+      page(s"http://chain.com/p$i", links)
+    }
+    writeCorpus(corpus, pages)
+    val conf = testConf.copy(maxHops = 100)
+
+    import scala.jdk.CollectionConverters._
+    def dirBytes(p: java.nio.file.Path): Long = {
+      val s = java.nio.file.Files.walk(p)
+      try s.iterator().asScala
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .map(java.nio.file.Files.size).sum
+      finally s.close()
+    }
+
+    val storeA = tmpDir("soak-a")
+    val a = new CrawlLoop(spark, conf, storeA, corpus, Map.empty)
+    a.init(Seq("http://chain.com/p0"))
+    val countersA = a.run(n + 5)
+    assert(countersA.map(_.claimed).sum == n, "every chain page claimed exactly once")
+
+    val hist = a.store.history
+    assert(hist.count(_.isCompaction) >= 2,
+      s"background compaction must have committed repeatedly; history: ${hist.size}")
+    // fragmentation stays bounded across ALL snapshots (compactor keeps up,
+    // no wave ever hit the inline valve at this scale)
+    val worst = hist.map(s => s.frontier.length + s.frontierDeletes.length).max
+    assert(worst <= 40, s"frontier file-list length must stay bounded, worst=$worst")
+    assert(hist.map(_.seen.length).max <= 40, "seen file-list bounded")
+    // per-wave DELTA write bytes stay flat (∝ wave size, not frontier/seen
+    // size) even in waves where compaction also ran
+    val deltaDirs = (5 to n).flatMap { w =>
+      val p = java.nio.file.Paths.get(storeA, "data", f"w$w%05d-delta")
+      if (java.nio.file.Files.exists(p)) Some(dirBytes(p)) else None
+    }
+    assert(deltaDirs.max <= deltaDirs.min * 4,
+      s"per-wave delta bytes must not grow with crawl age: min=${deltaDirs.min} max=${deltaDirs.max}")
+    // counters lineage: exactly one row per wave, compaction snapshots invisible
+    assert(a.counters.count() == n.toLong, "one counter row per wave")
+
+    // resume equivalence across compaction boundaries: stop mid-crawl
+    // (after compactions have fired), reopen, finish — same end state
+    val storeB = tmpDir("soak-b")
+    val b1 = new CrawlLoop(spark, conf, storeB, corpus, Map.empty)
+    b1.init(Seq("http://chain.com/p0"))
+    b1.run(18)
+    val b2 = new CrawlLoop(spark, conf, storeB, corpus, Map.empty)
+    b2.run(n) // resumes; auto-finishes when the chain drains
+    def endState(l: CrawlLoop) = (
+      l.frontier.select("url_canon").collect().map(_.getString(0)).toSet,
+      l.seen.select("url_hash").collect().map(_.getLong(0)).toSet,
+      l.counters.agg(sum("claimed"), sum("queued"), sum("deduped"))
+        .collect().head.toSeq)
+    assert(endState(a) == endState(b2),
+      "interrupted+resumed crawl across compaction boundaries ≡ straight run")
+  }
+
   test("multi-writer: alternating loops over one store equal a single writer") {
     val corpus = tmpDir("corpus")
     val pages = (0 until 10).map(i =>
