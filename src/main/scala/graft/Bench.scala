@@ -36,11 +36,14 @@ object Bench {
     s
   }
 
+  /** One crawl sample: work done, wall secs, per-phase wall decomposition. */
+  final case class CrawlSample(work: Long, secs: Double, phases: Map[String, Double])
+
   /** One crawl measurement in a FRESH forked JVM (JIT/GC isolation between
-    * the N-core and 4N-core runs). Returns (urls scheduled+deduped, secs).
+    * parallelism levels).
     */
   private def crawlRun(cores: Int, corpusDir: String, spec: Corpus.Spec,
-                       waves: Int): (Long, Double) = {
+                       waves: Int): CrawlSample = {
     val javaBin = System.getProperty("java.home") + "/bin/java"
     val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
       .getInputArguments.toArray.map(_.toString)
@@ -61,13 +64,19 @@ object Bench {
     val proc = pb.start()
     val out = new String(proc.getInputStream.readAllBytes(), "UTF-8")
     proc.waitFor()
+    val phases = out.linesIterator.find(_.startsWith("CRAWL_PHASES")).map { line =>
+      line.split(" ").drop(1).flatMap(_.split("=") match {
+        case Array(k, v) => Some(k -> v.toDouble)
+        case _ => None
+      }).toMap
+    }.getOrElse(Map.empty)
     out.linesIterator.find(_.startsWith("CRAWL_RESULT")) match {
       case Some(line) =>
         val parts = line.split(" ")
-        (parts(1).toLong, parts(2).toDouble)
+        CrawlSample(parts(1).toLong, parts(2).toDouble, phases)
       case None =>
         System.err.println(s"crawl child failed:\n${out.takeRight(2000)}")
-        (0L, 1.0)
+        CrawlSample(0L, 1.0, Map.empty)
     }
   }
 
@@ -124,7 +133,7 @@ object Bench {
       spark.stop()
     }
 
-    // ---- part 2: crawl scaling protocol ----
+    // ---- part 2: crawl scaling protocol (BASELINE.md) ----
     var crawlJson = ""
     if (doCrawl) {
       val spec = Corpus.Spec(nPages = benchPages, nHosts = math.max(64, (benchPages / 50).toInt),
@@ -133,33 +142,50 @@ object Bench {
       val waves = 3
       val lowCores = math.max(2, sys.env.getOrElse("SPARK_GRAFT_BENCH_LOW", "2").toInt)
       val hiCores = lowCores * 4
-      // 2 interleaved reps ≈ the round-1 total runtime envelope; raise for
-      // noisier boxes
-      val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
+      // north_rule asks N→4N twice over: measure 2→8 AND 8→32 when the box
+      // has the cores (local[32] caveat: threads share one memory bus, so
+      // the 8→32 point mostly measures bandwidth saturation — the phase
+      // decomposition below shows which)
+      val xhiCores = hiCores * 4
+      val levels =
+        if (cpus >= xhiCores && sys.env.getOrElse("SPARK_GRAFT_BENCH_XHI", "1") != "0")
+          Seq(lowCores, hiCores, xhiCores)
+        else Seq(lowCores, hiCores)
+      val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
       // corpus-build pass (untimed; also warms the page cache)
       crawlRun(hiCores, corpusDir, spec, 1)
-      // best-of-N per level with the levels INTERLEAVED (lo,hi,lo,hi,…):
+      // best-of-N per level with the levels INTERLEAVED (lo,hi,xhi,lo,…):
       // this box is a VM with sustained multi-minute CPU-steal windows, so
       // running all reps of one level back-to-back lets a single bad
       // window poison that level's best; interleaving decorrelates, and
       // min wall-clock per level is the steal-free estimate
       val samples = (1 to reps).flatMap { _ =>
-        Seq(lowCores -> crawlRun(lowCores, corpusDir, spec, waves),
-          hiCores -> crawlRun(hiCores, corpusDir, spec, waves))
+        levels.map(c => c -> crawlRun(c, corpusDir, spec, waves))
       }
-      def best(cores: Int): (Long, Double) =
-        samples.collect { case (c, r) if c == cores => r }.minBy(_._2)
-      val (workLo, secsLo) = best(lowCores)
-      val (workHi, secsHi) = best(hiCores)
-      val tpHi = workHi / secsHi
-      val tpLo = workLo / secsLo
-      val eff = (tpHi / tpLo) / (hiCores.toDouble / lowCores)
+      def best(cores: Int): CrawlSample =
+        samples.collect { case (c, r) if c == cores => r }.minBy(_.secs)
+      def tp(cores: Int): Double = { val b = best(cores); b.work / b.secs }
+      def eff(lo: Int, hi: Int): Double = (tp(hi) / tp(lo)) / (hi.toDouble / lo)
+      val levelJson = levels.map { c =>
+        val b = best(c)
+        val phases = b.phases.toSeq.sortBy(_._1)
+          .map { case (k, v) => f""""$k":$v%.2f""" }.mkString("{", ",", "}")
+        val all = samples.collect { case (`c`, r) => f"${r.secs}%.1f" }
+          .mkString("[", ",", "]")
+        f""""$c":{"best_secs":${b.secs}%.1f,"urls_per_sec":${b.work / b.secs}%.1f,""" +
+          f""""samples_secs":$all,"phases":$phases}"""
+      }.mkString("{", ",", "}")
+      val effXhi =
+        if (levels.length > 2)
+          f""","scaling_efficiency_hi_xhi":${eff(hiCores, xhiCores)}%.3f""" else ""
       crawlJson =
-        f""","crawl":{"pages":$benchPages,"waves":$waves,""" +
+        f""","crawl":{"pages":$benchPages,"waves":$waves,"reps":$reps,""" +
           f""""cores_hi":$hiCores,"cores_lo":$lowCores,""" +
-          f""""urls_per_sec_hi":${tpHi}%.1f,"urls_per_sec_lo":${tpLo}%.1f,""" +
-          f""""work_hi":$workHi,"secs_hi":$secsHi%.1f,"secs_lo":$secsLo%.1f,""" +
-          f""""scaling_efficiency":$eff%.3f}"""
+          f""""urls_per_sec_hi":${tp(hiCores)}%.1f,"urls_per_sec_lo":${tp(lowCores)}%.1f,""" +
+          f""""work_hi":${best(hiCores).work},"secs_hi":${best(hiCores).secs}%.1f,""" +
+          f""""secs_lo":${best(lowCores).secs}%.1f,""" +
+          f""""scaling_efficiency":${eff(lowCores, hiCores)}%.3f$effXhi,""" +
+          f""""levels":$levelJson}"""
     }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }

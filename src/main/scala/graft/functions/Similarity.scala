@@ -45,27 +45,74 @@ object Similarity {
         col("sim"), col("rank"))
   }
 
-  /** IVF-style ANN: partition vectors into nCells buckets by nearest of
-    * nCells random centroids (deterministic: centroids are the vectors of
-    * the first nCells ids), search only the query's nProbe nearest cells.
-    * The scale path: the shuffle key is the cell id; each cell is scanned
-    * independently; recall is tunable with nProbe.
+  /** IVF-style ANN with REAL centroids: deterministic seeded-sample
+    * k-means — init = the nCells vectors with smallest (xxhash64(vec_id),
+    * vec_id) (a seeded pseudo-random sample), then `lloydIters` Lloyd
+    * steps. The centroid update is an order-independent integer sum of
+    * ×1000-quantized components (map-side-combinable groupBy; Spark's
+    * nondeterministic float-sum ordering can never perturb the model), one
+    * double division at the end — so the trained centroids are bit-equal
+    * to the independent mirror in RefImpl.ivfTopK regardless of
+    * partitioning.
+    *
+    * Centroids are model parameters (nCells × dim doubles): they ride the
+    * plan as LITERAL arrays, so assignment is a pure projection inside
+    * whole-stage codegen — no join, no shuffle. The search remains an
+    * equi-join on the cell id: each cell scans independently, recall tuned
+    * with nProbe; per-iteration driver traffic is the nCells×dim centroid
+    * matrix only.
     */
   def ivfTopK(embeddings: DataFrame, queries: DataFrame, k: Int,
-              nCells: Int = 16, nProbe: Int = 4): DataFrame = {
-    val centroids = embeddings.orderBy(col("vec_id")).limit(nCells)
-      .select(col("vec_id").as("cell"), col("embedding").as("centroid"))
-    // assign each vector to its nearest centroid
-    def assign(df: DataFrame, vecCol: String, idCol: String, n: Int): DataFrame =
-      df.crossJoin(broadcast(centroids))
-        .withColumn("d", cosine(col(vecCol), col("centroid")))
-        .withColumn("r", row_number().over(
-          Window.partitionBy(col(idCol)).orderBy(col("d").desc, col("cell").asc)))
-        .filter(col("r") <= n).drop("d", "r", "centroid")
-    val cells = assign(embeddings, "embedding", "vec_id", 1)
-    val probes = assign(
-      queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb")),
-      "q_emb", "q_id", nProbe)
+              nCells: Int = 16, nProbe: Int = 4, lloydIters: Int = 2): DataFrame = {
+    // cosine of a vector column against a constant centroid, arithmetic
+    // order mirrored exactly by RefImpl.cosineD
+    def cosineTo(vecCol: Column, c: Array[Double]): Column = {
+      val normC = math.sqrt(c.map(x => x * x).sum)
+      val dotC = aggregate(
+        zip_with(vecCol, array(c.map(lit(_)): _*), (x, y) => x * y),
+        lit(0.0d), (acc, v) => acc + v)
+      dotC / (norm(vecCol) * lit(normC))
+    }
+    // argmax over struct(sim, -cell): equal sims keep the smaller cell
+    def cellStructs(vecCol: Column, cs: Array[Array[Double]]) =
+      cs.zipWithIndex.map { case (c, i) =>
+        struct(cosineTo(vecCol, c).as("sim"), lit(-i).as("negcell")) }
+    def nearestExpr(vecCol: Column, cs: Array[Array[Double]]): Column =
+      array_max(array(cellStructs(vecCol, cs): _*)).getField("negcell") * -1
+
+    // seeded deterministic init sample
+    var centroids: Array[Array[Double]] = embeddings
+      .select(col("vec_id"), col("embedding"))
+      .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(nCells)
+      .collect().map(_.getSeq[Float](1).toArray.map(_.toDouble))
+    val dim = centroids.head.length
+    for (_ <- 1 to lloydIters) {
+      val qvec = transform(col("embedding"),
+        x => round(x.cast("double") * 1000).cast("long"))
+      val rows = embeddings
+        .select(nearestExpr(col("embedding"), centroids).as("cell"), qvec.as("qv"))
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as("n"),
+          (0 until dim).map(d => sum(element_at(col("qv"), d + 1)).as(s"s$d")): _*)
+        .collect()
+      val next = centroids.clone()
+      rows.foreach { r =>
+        val cell = r.getInt(0)
+        val n = r.getLong(1)
+        next(cell) = Array.tabulate(dim)(d => r.getLong(2 + d).toDouble / (1000.0 * n))
+      } // cells with no members keep their previous centroid
+      centroids = next
+    }
+
+    val cells = embeddings
+      .withColumn("cell", nearestExpr(col("embedding"), centroids))
+    val probeArr = sort_array(
+      array(cellStructs(col("q_emb"), centroids): _*), asc = false)
+    val probes = queries
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      .select(col("q_id"), col("q_emb"),
+        explode(slice(probeArr, 1, nProbe)).as("p"))
+      .select(col("q_id"), col("q_emb"), (col("p.negcell") * -1).as("cell"))
     val scored = cells.join(probes, Seq("cell"))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("sim", cosine(col("embedding"), col("q_emb")))

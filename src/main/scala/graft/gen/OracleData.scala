@@ -18,6 +18,16 @@ object OracleData {
   val Dir = "/root/repo/data/oracle"
   val spec: Corpus.Spec = Corpus.Spec(nPages = 3000, nHosts = 24, seed = 42L)
 
+  /** Frontier fixture URL for index i: the corpus page URL, every 11th row
+    * promoted to https so scheme-sensitive expressions (robots path
+    * extraction, canonicalization) are pinned on a MIXED-scheme fixture.
+    */
+  def frontierUrl(i: Long): String = {
+    val (h, j) = Corpus.locate(i, spec)
+    val url = Corpus.pageUrl(h, j)
+    if (i % 11 == 3) "https://" + url.stripPrefix("http://") else url
+  }
+
   def ensure(spark: SparkSession): Unit = synchronized {
     val marker = java.nio.file.Paths.get(s"$Dir/_SUCCESS")
     if (java.nio.file.Files.exists(marker)) return
@@ -33,7 +43,7 @@ object OracleData {
     val n = spec.nPages
     val frontier = spark.range(n).map { i =>
       val (h, j) = Corpus.locate(i, spec)
-      val url = Corpus.pageUrl(h, j)
+      val url = frontierUrl(i)
       val host = Corpus.hostName(h)
       val kind = if (i % 5 == 0) "seed" else if (i % 5 == 1) "redirect" else "asset"
       val seed = Corpus.pageUrl(h, 0)
@@ -187,11 +197,9 @@ object OracleData {
       .coalesce(1).write.mode("overwrite").parquet(s"$Dir/expected_cos_pairs")
 
     // canon: the frontier url list through graft.canon.Canon directly
+    // (same mixed-scheme mutation as the frontier fixture)
     val canonConf = graft.conf.ZenoConf()
-    (0L until spec.nPages).map { i =>
-      val (h, j) = Corpus.locate(i, spec)
-      Corpus.pageUrl(h, j)
-    }.flatMap { url =>
+    (0L until spec.nPages).map(frontierUrl).flatMap { url =>
       graft.canon.Canon.canonicalize(url, None, canonConf) match {
         case Right(c) => Some((url, c.href, c.host))
         case Left(_) => None

@@ -69,6 +69,16 @@ object RefImpl {
   def xxh64s(s: String): Long =
     xxh64(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
 
+  /** xxHash64 of a long's 8-byte little-endian form — equals Spark's
+    * xxhash64() of a LongType column (seed 42).
+    */
+  def xxh64long(v: Long, seed: Long = 42L): Long = {
+    val b = new Array[Byte](8)
+    var i = 0
+    while (i < 8) { b(i) = ((v >>> (8 * i)) & 0xFF).toByte; i += 1 }
+    xxh64(b, seed)
+  }
+
   private def round(acc: Long, input: Long): Long =
     java.lang.Long.rotateLeft(acc + input * P2, 31) * P1
   private def mergeRound(h: Long, v: Long): Long = (h ^ round(0L, v)) * P1 + P4
@@ -204,20 +214,76 @@ object RefImpl {
     }.toSeq.sorted
   }
 
-  /** IVF top-k mirror of Similarity.ivfTopK (centroids = first nCells ids,
-    * rank ties broken by ascending id).
+  /** Cosine of a float vector against a double centroid, in the exact
+    * arithmetic order of the Spark expression (zip_with promotes each float
+    * element to double; norms accumulate in float-multiply / double-add for
+    * the vector, pure double for the centroid).
+    */
+  def cosineD(a: Array[Float], c: Array[Double]): Double = {
+    var dot = 0.0d; var na = 0.0d; var nc = 0.0d
+    var i = 0
+    while (i < a.length) {
+      dot += a(i) * c(i)
+      na += (a(i) * a(i))
+      nc += c(i) * c(i)
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nc))
+  }
+
+  /** ×1000 integer quantization with HALF_UP rounding — equals Spark's
+    * round(double) (BigDecimal.valueOf semantics).
+    */
+  def q1000(x: Float): Long =
+    java.math.BigDecimal.valueOf(x.toDouble * 1000.0)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+
+  /** IVF top-k mirror of Similarity.ivfTopK: deterministic seeded-sample
+    * k-means — init = the nCells vectors with smallest (xxh64(id), id),
+    * then `lloydIters` Lloyd steps whose centroid update sums ×1000-
+    * quantized longs (order-independent integer sums, so Spark's partition
+    * order cannot perturb the result) and divides once in double.
+    * Assignment ties break toward the smaller cell; rank ties toward the
+    * smaller id.
     */
   def ivfTopK(embs: Seq[(Long, Array[Float])], queryIds: Seq[Long], k: Int,
-              nCells: Int, nProbe: Int): Seq[(Long, Long, Int)] = {
-    val centroids = embs.sortBy(_._1).take(nCells)
-    def nearest(v: Array[Float], n: Int): Seq[Long] =
-      centroids.map { case (cell, c) => (cell, cosine(v, c)) }
-        .sortBy { case (cell, d) => (-d, cell) }.take(n).map(_._1)
+              nCells: Int, nProbe: Int, lloydIters: Int = 2): Seq[(Long, Long, Int)] = {
+    val dim = embs.head._2.length
+    var centroids: Array[Array[Double]] =
+      embs.sortBy { case (id, _) => (xxh64long(id), id) }.take(nCells)
+        .map(_._2.map(_.toDouble)).toArray
+    def nearestCell(v: Array[Float]): Int = {
+      var best = 0; var bestSim = Double.NegativeInfinity
+      var c = 0
+      while (c < centroids.length) {
+        val s = cosineD(v, centroids(c))
+        if (s > bestSim) { bestSim = s; best = c } // strict > : ties → smaller cell
+        c += 1
+      }
+      best
+    }
+    for (_ <- 1 to lloydIters) {
+      val sums = Array.ofDim[Long](nCells, dim)
+      val counts = new Array[Long](nCells)
+      embs.foreach { case (_, v) =>
+        val c = nearestCell(v)
+        counts(c) += 1
+        var d = 0
+        while (d < dim) { sums(c)(d) += q1000(v(d)); d += 1 }
+      }
+      centroids = Array.tabulate(nCells) { c =>
+        if (counts(c) == 0) centroids(c) // empty cell keeps its centroid
+        else Array.tabulate(dim)(d => sums(c)(d).toDouble / (1000.0 * counts(c)))
+      }
+    }
+    def nearestN(v: Array[Float], n: Int): Seq[Int] =
+      centroids.indices.map(c => (c, cosineD(v, centroids(c))))
+        .sortBy { case (c, s) => (-s, c) }.take(n).map(_._1)
     val byId = embs.toMap
-    val byCell = embs.groupBy { case (id, v) => nearest(v, 1).head }
+    val byCell = embs.groupBy { case (_, v) => nearestCell(v) }
     queryIds.sorted.flatMap { q =>
       val qv = byId(q)
-      val cands = nearest(qv, nProbe).flatMap(c => byCell.getOrElse(c, Nil))
+      val cands = nearestN(qv, nProbe).flatMap(c => byCell.getOrElse(c, Nil))
         .filter(_._1 != q)
       cands.map { case (id, v) => (id, cosine(v, qv)) }
         .sortBy { case (id, s) => (-s, id) }.take(k).zipWithIndex

@@ -137,14 +137,21 @@ final class CrawlLoop(
   private var firstStep = true
 
   private val debugTiming = sys.env.get("SPARK_GRAFT_WAVE_TIMING").contains("1")
+
+  /** Cumulative wall seconds per wave phase (log-write / delta-write /
+    * seeds-finished / valve-compact) — always accumulated (3 nanoTime
+    * calls per wave), printed per-wave only under SPARK_GRAFT_WAVE_TIMING.
+    * graft.Bench reads this for the per-phase decomposition in BENCH JSON.
+    */
+  val phaseSums: scala.collection.concurrent.TrieMap[String, Double] =
+    scala.collection.concurrent.TrieMap.empty
   private def timed[T](phase: String)(f: => T): T = {
-    if (!debugTiming) f
-    else {
-      val t0 = System.nanoTime()
-      val r = f
-      println(f"    [wave-timing] $phase: ${(System.nanoTime() - t0) / 1e9}%.2fs")
-      r
-    }
+    val t0 = System.nanoTime()
+    val r = f
+    val secs = (System.nanoTime() - t0) / 1e9
+    phaseSums.updateWith(phase) { v => Some(v.getOrElse(0.0) + secs) }
+    if (debugTiming) println(f"    [wave-timing] $phase: $secs%.2fs")
+    r
   }
 
   /** Run one wave. Returns the wave's counters, or None if the frontier

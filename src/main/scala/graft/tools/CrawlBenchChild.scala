@@ -7,7 +7,8 @@ import graft.loop.CrawlLoop
 
 /** One timed crawl in a fresh JVM (spawned by graft.Bench) so JIT/GC state
   * never bleeds between the N-core and 4N-core measurements.
-  * Prints exactly one line: CRAWL_RESULT <work> <secs>
+  * Prints CRAWL_PHASES <phase>=<secs>... (per-phase wall decomposition of
+  * the timed waves) and exactly one line: CRAWL_RESULT <work> <secs>
   *
   * args: corpusDir cores waves nPages nHosts
   */
@@ -55,6 +56,9 @@ object CrawlBenchChild {
     val counters = loop.run(wavesS.toInt)
     val secs = (System.nanoTime() - t0) / 1e9
     val workDone = counters.map(c => c.claimed + c.queued + c.deduped).sum
+    val phases = loop.phaseSums.toSeq.sortBy(_._1)
+      .map { case (p, s) => f"$p=$s%.2f" }.mkString(" ")
+    println(s"CRAWL_PHASES $phases")
     println(f"CRAWL_RESULT $workDone $secs%.3f")
     spark.stop()
   }

@@ -75,6 +75,31 @@ class FunctionsSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"IVF recall@5 = $recall (nProbe=4/8 cells)")
   }
 
+  test("IVF k-means recall ≥0.8 on clustered vectors") {
+    import spark.implicits._
+    // 8 well-separated cluster centers, 40 members each with small
+    // deterministic jitter — the shape IVF is FOR; seeded k-means must
+    // recover the clusters well enough that nProbe=2 of 8 cells finds
+    // ≥80% of true neighbors (first-N-ids "centroids" scored ~0.5 here)
+    val dim = 16
+    def center(c: Int): Array[Float] =
+      Array.tabulate(dim)(d => if (d % 8 == c % 8) (if (c < 8) 1.0f else -1.0f) else 0.1f * ((c * 7 + d) % 5 - 2))
+    val vecs = (0 until 320).map { i =>
+      val c = i % 8
+      val base = center(c)
+      val jit = Array.tabulate(dim)(d => 0.05f * (((i * 31 + d * 13) % 11) - 5))
+      (i.toLong, Array.tabulate(dim)(d => base(d) + jit(d)))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val queries = df.filter($"vec_id" < 16)
+    val exact = Similarity.bruteForceTopK(df, queries, 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.ivfTopK(df, queries, 5, nCells = 8, nProbe = 2)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = exact.count(approx.contains).toDouble / exact.size
+    assert(recall >= 0.8, s"k-means IVF recall@5 = $recall (nProbe=2/8 cells)")
+  }
+
   test("quantized dot product is deterministic and matches plain dot sign") {
     import spark.implicits._
     val a = emb.filter($"vec_id" === 0).select($"embedding").first().getSeq[Float](0)

@@ -27,6 +27,27 @@ class RefImplSpec extends AnyFunSuite {
     }
   }
 
+  test("xxh64long matches Spark xxhash64 on LongType (k-means init seed)") {
+    import spark.implicits._
+    val ids = Seq(0L, 1L, 7L, 42L, -1L, Long.MaxValue, Long.MinValue, 123456789L)
+    val sparkHashes = ids.toDF("v").select(col("v"), xxhash64(col("v")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    ids.foreach(v => assert(RefImpl.xxh64long(v) == sparkHashes(v), s"mismatch for $v"))
+  }
+
+  test("ivfTopK (seeded k-means) agrees exactly with the RefImpl mirror") {
+    import spark.implicits._
+    val embs = graft.gen.OracleData.embeddingsSeq
+    val sparkOut = Similarity.ivfTopK(
+        embs.toDF("vec_id", "embedding"),
+        embs.filter(_._1 < 10).toDF("vec_id", "embedding"),
+        k = 5, nCells = 8, nProbe = 3)
+      .select("query_id", "neighbor_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val refOut = RefImpl.ivfTopK(embs, (0L until 10L), k = 5, nCells = 8, nProbe = 3).toSet
+    assert(sparkOut == refOut, "Spark k-means IVF must be bit-equal to the independent mirror")
+  }
+
   test("minhash / simhash / fingerprints / lsh bucket agree with Spark queries on a sample") {
     import spark.implicits._
     val docs = Seq(
