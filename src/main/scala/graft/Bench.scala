@@ -140,17 +140,15 @@ object Bench {
         bodyBytes = sys.env.getOrElse("SPARK_GRAFT_BENCH_BODY", "16000").toInt)
       val corpusDir = java.nio.file.Files.createTempDirectory("bench-corpus").toString
       val waves = 3
-      val lowCores = math.max(2, sys.env.getOrElse("SPARK_GRAFT_BENCH_LOW", "2").toInt)
-      val hiCores = lowCores * 4
-      // north_rule asks N→4N twice over: measure 2→8 AND 8→32 when the box
-      // has the cores (local[32] caveat: threads share one memory bus, so
-      // the 8→32 point mostly measures bandwidth saturation — the phase
-      // decomposition below shows which)
-      val xhiCores = hiCores * 4
-      val levels =
-        if (cpus >= xhiCores && sys.env.getOrElse("SPARK_GRAFT_BENCH_XHI", "1") != "0")
-          Seq(lowCores, hiCores, xhiCores)
-        else Seq(lowCores, hiCores)
+      // the full scaling curve: every adjacent-4× pair (1→4, 2→8, 8→32)
+      // is an N→4N measurement per the north rule. local[32] caveat:
+      // threads share one memory bus, so the high pairs increasingly
+      // measure bandwidth saturation — the per-phase decomposition and
+      // the low pairs separate plan-serial from bus effects
+      val levels = sys.env.getOrElse("SPARK_GRAFT_BENCH_LEVELS", "1,2,4,8,32")
+        .split(",").map(_.trim.toInt).filter(c => c >= 1 && c <= cpus).toSeq
+      val lowCores = levels.find(c => levels.contains(c * 4)).getOrElse(levels.head)
+      val hiCores = if (levels.contains(lowCores * 4)) lowCores * 4 else levels.last
       val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
       // corpus-build pass (untimed; also warms the page cache)
       crawlRun(hiCores, corpusDir, spec, 1)
@@ -175,16 +173,20 @@ object Bench {
         f""""$c":{"best_secs":${b.secs}%.1f,"urls_per_sec":${b.work / b.secs}%.1f,""" +
           f""""samples_secs":$all,"phases":$phases}"""
       }.mkString("{", ",", "}")
-      val effXhi =
-        if (levels.length > 2)
-          f""","scaling_efficiency_hi_xhi":${eff(hiCores, xhiCores)}%.3f""" else ""
+      // every adjacent-4× pair present in the level set is an N→4N
+      // efficiency measurement
+      val pairs = levels.filter(c => levels.contains(c * 4))
+      val effJson = pairs
+        .map(c => f""""${c}_to_${c * 4}":${eff(c, c * 4)}%.3f""")
+        .mkString("{", ",", "}")
       crawlJson =
         f""","crawl":{"pages":$benchPages,"waves":$waves,"reps":$reps,""" +
           f""""cores_hi":$hiCores,"cores_lo":$lowCores,""" +
           f""""urls_per_sec_hi":${tp(hiCores)}%.1f,"urls_per_sec_lo":${tp(lowCores)}%.1f,""" +
           f""""work_hi":${best(hiCores).work},"secs_hi":${best(hiCores).secs}%.1f,""" +
           f""""secs_lo":${best(lowCores).secs}%.1f,""" +
-          f""""scaling_efficiency":${eff(lowCores, hiCores)}%.3f$effXhi,""" +
+          f""""scaling_efficiency":${eff(lowCores, hiCores)}%.3f,""" +
+          f""""efficiencies":$effJson,""" +
           f""""levels":$levelJson}"""
     }
 

@@ -238,9 +238,11 @@ final class CrawlLoop(
     val bloomNext: Option[DataFrame] =
       if (!conf.useBloomSeenFilter) None
       else Some(BloomShards.buildDelta(spark, fin.seenAppend, conf.bloomFpp))
-    // per-seed live-row count delta: −1 per claim, +1 per enqueue
-    val seedDelta = claimedLog.groupBy($"seed_id").agg((-count(lit(1))).as("cnt"))
-      .unionByName(fin.enqueued.groupBy($"seed_id").agg(count(lit(1)).as("cnt")))
+    // per-seed live-row count delta: −1 per claim, +1 per enqueue — ONE
+    // map-side-combinable aggregation over the union (not one shuffle each)
+    val seedDelta = claimedLog.select($"seed_id", lit(-1L).as("d"))
+      .unionByName(fin.enqueued.select($"seed_id", lit(1L).as("d")))
+      .groupBy($"seed_id").agg(sum($"d").as("cnt"))
     // resume into a store without count history: rebuild the baseline from
     // the live view once (same seam as the bloom rebuild)
     val seedCountBase: Seq[String] =
@@ -268,7 +270,9 @@ final class CrawlLoop(
     // concurrently from lineage would re-execute the whole finish DAG —
     // J1 window, J2 semi/anti, J3 lookup — a second time per wave).
     val finished = timed("seeds-finished") {
-      val claimedSeeds = claimedLog.select($"seed_id").distinct()
+      // no .distinct(): the broadcast semi hash build dedupes, a distinct
+      // would add a shuffle + agg stage per wave
+      val claimedSeeds = claimedLog.select($"seed_id")
       val seedCntPaths = seedCountBase ++ {
         val p = s"${dirs("delta")}/row_type=seedcnt"
         if (java.nio.file.Files.exists(java.nio.file.Paths.get(p))) Seq(p) else Nil

@@ -22,7 +22,12 @@ object CrawlBenchChild {
       .master(s"local[$cores]")
       .appName(s"zenospark-bench-child-$cores")
       .config("spark.sql.shuffle.partitions", cores)
-      .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
+      // AQE default OFF for the crawl: the wave DAG already fixes its join
+      // strategies (explicit broadcast()/shuffle_hash hints) and handles
+      // skew below the exchange (WindowGroupLimit), so adaptive re-planning
+      // only adds per-stage driver serial — measured 3-6% slower at BOTH 2
+      // and 8 cores (4 interleaved pairs, round 3)
+      .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "false"))
       .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
       .config("spark.sql.files.maxPartitionBytes", "8m")
       .config("spark.sql.autoBroadcastJoinThreshold", "64m")

@@ -106,6 +106,39 @@ class WavePlanSpec extends AnyFunSuite {
     (logs.cached ++ fin.cached).foreach(_.unpersist())
   }
 
+  test("MOR delete mask: long-keyed broadcast build, exact vs string-keyed recompute") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.LongType
+    OracleData.ensure(spark)
+    val loop = new CrawlLoop(spark, ZenoConf(maxHops = 2),
+      tmpDir("planspec-mor"), OracleData.Dir, robots)
+    loop.init((0 until 10).map(h => Corpus.urlOf(h, 0)))
+    assert(loop.run(2).size == 2)
+    val snap = loop.store.latest.get
+    assert(snap.frontierDeletes.nonEmpty)
+    val view = loop.store.readFrontierAt(spark, snap.frontier, snap.frontierDeletes)
+    // the driver-side hash-relation build is paid on every frontier read
+    // (claim + finish per wave): it must key on the 8-byte fnv64, never
+    // the URL string
+    val bhj = PlanShapes.flatten(view.queryExecution.executedPlan)
+      .collect { case j: BroadcastHashJoinExec => j }
+    assert(bhj.nonEmpty, "delete mask must plan as a broadcast hash join")
+    assert(bhj.forall(j =>
+      j.leftKeys.forall(_.dataType == LongType) &&
+        j.rightKeys.forall(_.dataType == LongType)),
+      s"delete-mask join keys must be LongType, got ${bhj.map(j => j.leftKeys.map(_.dataType))}")
+    // collision-exactness: identical live view as the string-keyed recompute
+    val base = loop.store.readTable(spark, snap.frontier, FrontierStore.frontierDdl)
+    val dels = loop.store
+      .readTable(spark, snap.frontierDeletes, FrontierStore.frontierDeleteDdl)
+      .groupBy(col("url_canon")).agg(max(col("del_wave")).as("dw"))
+    val expected = base.join(dels, Seq("url_canon"), "left")
+      .filter(col("dw").isNull || col("ts") >= col("dw"))
+    def key(df: DataFrame) =
+      df.select("url_canon", "ts").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(key(view) == key(expected), "hash-keyed mask ≡ string-keyed mask")
+  }
+
   test("bucketed corpus: shuffled-hash fetch join (claimed side exchanges), " +
       "corpus never shuffles, results equal the broadcast path") {
     import java.nio.file.{Files, Paths, Path}
