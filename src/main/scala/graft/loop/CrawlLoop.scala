@@ -218,10 +218,9 @@ final class CrawlLoop(
     // phase-2: ONE union-schema delta write per wave. The frontier is
     // never rewritten — the wave contributes row_type-partitioned subsets
     // (add = enqueue rows, del = claimed keys, seen = processed hashes,
-    // host = rate-limiter state, bloom = merged shards), each referenced
-    // from the manifest as its own table path. Fusing five writes into one
-    // job (plus the concurrent seeds-finished count, derived from lineage,
-    // not a read-back) cuts the per-wave driver-serial floor that caps
+    // host = rate-limiter state, bloom = this wave's delta shards), each
+    // referenced from the manifest as its own table path. Fusing five
+    // writes into one job cuts the per-wave driver-serial floor that caps
     // N→4N scaling efficiency.
     val waveLog = spark.read.parquet(dirs("log"))
     val claimedLog = waveLog.filter($"row_type" === "claimed")
