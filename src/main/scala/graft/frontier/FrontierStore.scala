@@ -191,7 +191,13 @@ final class FrontierStore(val workDir: String) {
   def readFrontier(spark: SparkSession, snap: Snapshot): DataFrame =
     readFrontierAt(spark, snap.frontier, snap.frontierDeletes)
 
-  /** Drop data dirs not referenced by the latest snapshot (GC). */
+  /** Drop data dirs not referenced by the latest snapshot (GC). Call only
+    * on a quiescent store: CrawlLoop.run() waits for its background
+    * compactor before returning, but a vacuum racing an EXTERNAL writer's
+    * in-flight rewrite could collect that writer's not-yet-committed dirs
+    * (the usual snapshot-GC caveat; Iceberg solves it with retention
+    * windows, which a single-driver sandbox does not need).
+    */
   def vacuum(): Unit = latest.foreach { snap =>
     val live = (snap.frontier ++ snap.frontierDeletes ++ snap.seen ++
       snap.hostState ++ snap.counters ++ snap.bloom ++ snap.seedCounts)
