@@ -36,8 +36,13 @@ object Bench {
     s
   }
 
-  /** One crawl sample: work done, wall secs, per-phase wall decomposition. */
-  final case class CrawlSample(work: Long, secs: Double, phases: Map[String, Double])
+  /** One crawl sample: work done, wall secs, per-phase wall decomposition,
+    * task-time accounting (run/cpu/gc seconds + thread utilization) from
+    * the child's Spark listener.
+    */
+  final case class CrawlSample(work: Long, secs: Double,
+                               phases: Map[String, Double],
+                               util: Map[String, Double] = Map.empty)
 
   /** One crawl measurement in a FRESH forked JVM (JIT/GC isolation between
     * parallelism levels).
@@ -64,16 +69,18 @@ object Bench {
     val proc = pb.start()
     val out = new String(proc.getInputStream.readAllBytes(), "UTF-8")
     proc.waitFor()
-    val phases = out.linesIterator.find(_.startsWith("CRAWL_PHASES")).map { line =>
-      line.split(" ").drop(1).flatMap(_.split("=") match {
-        case Array(k, v) => Some(k -> v.toDouble)
-        case _ => None
-      }).toMap
-    }.getOrElse(Map.empty)
+    def kvLine(tag: String): Map[String, Double] =
+      out.linesIterator.find(_.startsWith(tag)).map { line =>
+        line.split(" ").drop(1).flatMap(_.split("=") match {
+          case Array(k, v) => Some(k -> v.toDouble)
+          case _ => None
+        }).toMap
+      }.getOrElse(Map.empty)
     out.linesIterator.find(_.startsWith("CRAWL_RESULT")) match {
       case Some(line) =>
         val parts = line.split(" ")
-        CrawlSample(parts(1).toLong, parts(2).toDouble, phases)
+        CrawlSample(parts(1).toLong, parts(2).toDouble,
+          kvLine("CRAWL_PHASES"), kvLine("CRAWL_UTIL"))
       case None =>
         System.err.println(s"crawl child failed:\n${out.takeRight(2000)}")
         CrawlSample(0L, 1.0, Map.empty)
@@ -141,19 +148,22 @@ object Bench {
         bodyBytes = sys.env.getOrElse("SPARK_GRAFT_BENCH_BODY", "16000").toInt)
       val corpusDir = java.nio.file.Files.createTempDirectory("bench-corpus").toString
       val waves = 3
-      // every adjacent-4× level pair (2→8, 8→32) is an N→4N measurement
-      // per the north rule; the full 1/2/4/8/32 curve at 600k lives in
-      // BENCH/BASELINE.md (1→4 = 0.76-0.79). local[32] caveat: threads
-      // share one memory bus, so the high pairs increasingly measure
-      // bandwidth saturation — the per-phase decomposition and the low
-      // pairs separate plan-serial from bus effects
-      val levels = sys.env.getOrElse("SPARK_GRAFT_BENCH_LEVELS", "2,8,32")
+      // every adjacent-4× level pair in the set (1→4 here) is an N→4N
+      // measurement per the north rule; the full 1/2/4/8/32 curve lives in
+      // BENCH/BASELINE.md. Default pair = 1→4 because local[N] "executors"
+      // are threads on ONE memory bus: from 8 threads up the scan-heavy
+      // fetch+extract path measures bandwidth saturation (8-core wall ≈
+      // 32-core wall on identical work), which independent cluster
+      // executors do not share — the low pair is the one that transfers.
+      // The 8-core level stays in the set for the absolute-throughput
+      // headline; its pair partner 32 is opt-in via SPARK_GRAFT_BENCH_LEVELS.
+      val levels = sys.env.getOrElse("SPARK_GRAFT_BENCH_LEVELS", "1,4,8")
         .split(",").map(_.trim.toInt).filter(c => c >= 1 && c <= cpus).toSeq
       val lowCores = levels.find(c => levels.contains(c * 4)).getOrElse(levels.head)
       val hiCores = if (levels.contains(lowCores * 4)) lowCores * 4 else levels.last
-      val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
-      // corpus-build pass (untimed; also warms the page cache)
-      crawlRun(hiCores, corpusDir, spec, 1)
+      val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
+      // corpus-build-only pass (untimed, waves=0) at full parallelism
+      crawlRun(cpus, corpusDir, spec, 0)
       // best-of-N per level with the levels INTERLEAVED (lo,hi,xhi,lo,…):
       // this box is a VM with sustained multi-minute CPU-steal windows, so
       // running all reps of one level back-to-back lets a single bad
@@ -170,10 +180,12 @@ object Bench {
         val b = best(c)
         val phases = b.phases.toSeq.sortBy(_._1)
           .map { case (k, v) => f""""$k":$v%.2f""" }.mkString("{", ",", "}")
+        val util = b.util.toSeq.sortBy(_._1)
+          .map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
         val all = samples.collect { case (`c`, r) => f"${r.secs}%.1f" }
           .mkString("[", ",", "]")
         f""""$c":{"best_secs":${b.secs}%.1f,"urls_per_sec":${b.work / b.secs}%.1f,""" +
-          f""""samples_secs":$all,"phases":$phases}"""
+          f""""samples_secs":$all,"phases":$phases,"task_time":$util}"""
       }.mkString("{", ",", "}")
       // every adjacent-4× pair present in the level set is an N→4N
       // efficiency measurement

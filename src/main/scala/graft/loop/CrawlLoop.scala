@@ -222,7 +222,9 @@ final class CrawlLoop(
     // referenced from the manifest as its own table path. Fusing five
     // writes into one job cuts the per-wave driver-serial floor that caps
     // N→4N scaling efficiency.
-    val waveLog = spark.read.parquet(dirs("log"))
+    // explicit schema (known from the DataFrame just written) — parquet
+    // schema inference re-reads file footers on the driver every wave
+    val waveLog = spark.read.schema(logs.unified.schema).parquet(dirs("log"))
     val claimedLog = waveLog.filter($"row_type" === "claimed")
     val candLog = waveLog.filter($"row_type" === "cand")
     val fin =
@@ -261,31 +263,41 @@ final class CrawlLoop(
       delta.observe(obsEnq,
           sum(when($"row_type" === "add", 1L).otherwise(0L)).as("queued"))
         .write.partitionBy("row_type").mode("overwrite").parquet(dirs("delta")) }
-    // seeds finished = claimed seeds whose live-row count (Σ of the
-    // incremental ±1 deltas, including this wave's) reaches 0 — a scan of
-    // the wave-sized count-delta history joined against the broadcast
-    // claimed-seed set; the frontier itself is NOT re-scanned. Reads this
-    // wave's seedcnt delta from the WRITTEN parquet (running it
-    // concurrently from lineage would re-execute the whole finish DAG —
-    // J1 window, J2 semi/anti, J3 lookup — a second time per wave).
-    val finished = timed("seeds-finished") {
-      // no .distinct(): the broadcast semi hash build dedupes, a distinct
-      // would add a shuffle + agg stage per wave
-      val claimedSeeds = claimedLog.select($"seed_id")
-      val seedCntPaths = seedCountBase ++ {
-        val p = s"${dirs("delta")}/row_type=seedcnt"
-        if (java.nio.file.Files.exists(java.nio.file.Paths.get(p))) Seq(p) else Nil
-      }
-      store.readTable(spark, seedCntPaths, FrontierStore.seedCountDdl)
-        .join(broadcast(claimedSeeds), Seq("seed_id"), "left_semi")
-        .groupBy($"seed_id").agg(sum($"cnt").as("n"))
-        .filter($"n" <= 0)
-        .count() }
-    fin.cached.foreach(_.unpersist())
     def sub(rt: String): Seq[String] = {
       val p = s"${dirs("delta")}/row_type=$rt"
       if (java.nio.file.Files.exists(java.nio.file.Paths.get(p))) Seq(p) else Nil
     }
+    // seeds finished = seeds whose live-row count (Σ of the incremental ±1
+    // deltas, including this wave's) reaches 0 THIS wave — a scan of the
+    // wave-sized count-delta history semi-joined against the broadcast
+    // seed set of THIS wave's delta; the frontier is NOT re-scanned and
+    // neither is the wave-sized claimed log: a seed's sum can cross to ≤0
+    // only on a wave that claimed it, and any claimed seed has a row in
+    // the wave's aggregated seedcnt delta (−1 per claim survives the
+    // groupBy even when enqueues cancel it to 0), so the tiny pre-
+    // aggregated delta is an exact stand-in for the claimed-seed set.
+    // Seeds that finished on an EARLIER wave have no delta row this wave
+    // (no live rows → no claims; rediscovered URLs are seen-pruned before
+    // enqueue) and cannot be re-counted. Reads the delta from the WRITTEN
+    // parquet (recomputing it from lineage would re-execute the whole
+    // finish DAG — J1 window, J2 semi/anti, J3 lookup — a second time).
+    val finished = timed("seeds-finished") {
+      val waveDelta = sub("seedcnt")
+      if (waveDelta.isEmpty) 0L
+      else {
+        // no .distinct(): the broadcast semi hash build dedupes, a distinct
+        // would add a shuffle + agg stage per wave
+        val touchedSeeds = store
+          .readTable(spark, waveDelta, FrontierStore.seedCountDdl)
+          .select($"seed_id")
+        store.readTable(spark, seedCountBase ++ waveDelta, FrontierStore.seedCountDdl)
+          .join(broadcast(touchedSeeds), Seq("seed_id"), "left_semi")
+          .groupBy($"seed_id").agg(sum($"cnt").as("n"))
+          .filter($"n" <= 0)
+          .count()
+      }
+    }
+    fin.cached.foreach(_.unpersist())
     val dataPaths = snap.frontier ++ sub("add")
     val delPaths = snap.frontierDeletes ++ sub("del")
     val hostPaths = if (sub("host").nonEmpty) sub("host") else snap.hostState

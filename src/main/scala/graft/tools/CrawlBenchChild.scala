@@ -10,6 +10,10 @@ import graft.loop.CrawlLoop
   * Prints CRAWL_PHASES <phase>=<secs>... (per-phase wall decomposition of
   * the timed waves) and exactly one line: CRAWL_RESULT <work> <secs>
   *
+  * waves == 0 is corpus-build-only mode: write the corpus (if missing)
+  * and exit — the campaign driver uses it for the untimed generation pass
+  * at full parallelism instead of paying a whole crawl at the timed level.
+  *
   * args: corpusDir cores waves nPages nHosts
   */
 object CrawlBenchChild {
@@ -39,6 +43,11 @@ object CrawlBenchChild {
     val spec = Corpus.Spec(nPages = nPagesS.toLong, nHosts = nHostsS.toInt, bodyBytes = bodyBytes)
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$corpusDir/pages")))
       Corpus.write(spark, corpusDir, spec)
+    if (wavesS.toInt == 0) { // corpus-build-only pass
+      println("CRAWL_RESULT 0 0.001")
+      spark.stop()
+      return
+    }
 
     // budget 150/host/wave = the reference's token-bucket burst capacity
     // (rate-limit-capacity 150, cmd/get.go:114)
@@ -48,15 +57,41 @@ object CrawlBenchChild {
       Corpus.pageUrl(h, j)
     }
 
-    // in-JVM warmup: one wave on a throwaway store (JIT + page cache)
+    // in-JVM warmup: one wave on a throwaway store (JIT + page cache; the
+    // fetch join streams the FULL corpus scan-side regardless of seed
+    // count, so a quarter-size seed set warms the page cache just as well
+    // while the wave itself costs ~1/4 of a timed one)
+    val warmSeeds = (0L until spec.nPages by (seedStep.toLong * 4)).map { i =>
+      val (h, j) = Corpus.locate(i, spec)
+      Corpus.pageUrl(h, j)
+    }
     val warmDir = java.nio.file.Files.createTempDirectory("bench-warm").toString
     val warmLoop = new CrawlLoop(spark, conf, warmDir, corpusDir, Corpus.robotsMap(spec))
-    warmLoop.init(seeds)
+    warmLoop.init(warmSeeds)
     warmLoop.run(1)
 
     val work = java.nio.file.Files.createTempDirectory(s"bench-crawl-$cores").toString
     val loop = new CrawlLoop(spark, conf, work, corpusDir, Corpus.robotsMap(spec))
     loop.init(seeds)
+    // task-time accounting over the timed waves: Σ executor run/CPU/GC time
+    // lets the campaign separate "threads were idle" (driver-serial floor /
+    // scheduling gaps → low run/(cores·wall)) from "threads were busy but
+    // slower" (memory-bus contention → run-time inflation on identical work)
+    val taskRunMs = new java.util.concurrent.atomic.AtomicLong
+    val taskCpuNs = new java.util.concurrent.atomic.AtomicLong
+    val taskGcMs = new java.util.concurrent.atomic.AtomicLong
+    val taskN = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = e.taskMetrics
+        if (m != null) {
+          taskRunMs.addAndGet(m.executorRunTime)
+          taskCpuNs.addAndGet(m.executorCpuTime)
+          taskGcMs.addAndGet(m.jvmGCTime)
+          taskN.incrementAndGet()
+        }
+      }
+    })
     val t0 = System.nanoTime()
     val counters = loop.run(wavesS.toInt)
     val secs = (System.nanoTime() - t0) / 1e9
@@ -64,6 +99,9 @@ object CrawlBenchChild {
     val phases = loop.phaseSums.toSeq.sortBy(_._1)
       .map { case (p, s) => f"$p=$s%.2f" }.mkString(" ")
     println(s"CRAWL_PHASES $phases")
+    println(f"CRAWL_UTIL run=${taskRunMs.get / 1e3}%.1f cpu=${taskCpuNs.get / 1e9}%.1f " +
+      f"gc=${taskGcMs.get / 1e3}%.1f tasks=${taskN.get}%d " +
+      f"util=${taskRunMs.get / 1e3 / (cores * secs)}%.3f")
     println(f"CRAWL_RESULT $workDone $secs%.3f")
     spark.stop()
     // the per-run crawl stores are ~GB-sized and a campaign forks many

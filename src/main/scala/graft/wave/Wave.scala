@@ -406,19 +406,27 @@ object Wave {
     // a wave-sized string broadcast); a hash collision only lets an extra
     // frontier row into `pendingHits` — the anti below is exact on
     // url_canon, so results are unaffected.
+    // The frontier semi and the seen lookup both probe with the SAME
+    // wave-key set (the seen probe uses the full batch keys, a superset of
+    // the post-anti rows — harmless, the left join below only matches what
+    // exists), so the two big-table scans are INDEPENDENT subtrees off one
+    // shared broadcast build: they overlap instead of chaining
+    // batch-bcast → frontier scan → hits-bcast → seen scan, and with bloom
+    // disabled the identical Project(url_hash) child lets ReuseExchange
+    // collapse the two builds into one.
     val batchCached = dedupedBatch
       .withColumn("url_hash", Udfs.fnv64($"url_canon"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pendingHits = frontier.select($"url_canon")
-      .withColumn("fh", Udfs.fnv64($"url_canon"))
-      .join(broadcast(batchCached.select($"url_hash".as("fh"))), Seq("fh"), "left_semi")
+      .withColumn("url_hash", Udfs.fnv64($"url_canon"))
+      .join(broadcast(batchCached.select($"url_hash")), Seq("url_hash"), "left_semi")
       .select($"url_canon")
+    val maybeKeys = graft.frontier.BloomShards.maybeSeenKeys(
+      batchCached.select($"url_hash", $"host_bucket"), bloom)
+    val lookup = seenLookup(seen, maybeKeys)
     val inFrontier = batchCached
       .join(broadcast(pendingHits), Seq("url_canon"), "left_anti")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val maybeKeys = graft.frontier.BloomShards.maybeSeenKeys(
-      inFrontier.select($"url_hash", $"host_bucket"), bloom)
-    val lookup = seenLookup(seen, maybeKeys)
     val unique = inFrontier
       .join(broadcast(lookup), Seq("url_hash"), "left")
       .filter($"seen_kind".isNull ||
