@@ -215,6 +215,19 @@ object Bench {
           f""""scaling_efficiency":${eff(lowCores, hiCores)}%.3f,""" +
           f""""efficiencies":$effJson,""" +
           f""""levels":$levelJson}"""
+      // the ~GB-sized synthetic corpus has no value past the campaign —
+      // repeated bench runs would otherwise accumulate one copy each
+      def rm(p: java.nio.file.Path): Unit = {
+        if (java.nio.file.Files.isDirectory(p)) {
+          val s = java.nio.file.Files.list(p)
+          val cs = try { val it = s.iterator(); val b = Seq.newBuilder[java.nio.file.Path]
+            while (it.hasNext) b += it.next(); b.result() } finally s.close()
+          cs.foreach(rm)
+        }
+        java.nio.file.Files.deleteIfExists(p)
+      }
+      try rm(java.nio.file.Paths.get(corpusDir))
+      catch { case _: Exception => () }
     }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
