@@ -1,9 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import graft.conf.ZenoConf
 import graft.gen.Corpus
-import graft.loop.CrawlLoop
 
 /** Benchmark main. Two parts:
   *
@@ -13,10 +11,35 @@ import graft.loop.CrawlLoop
   *     local[4N] — reporting URLs scheduled+deduped per second at each and
   *     the scaling efficiency (throughput_4N / throughput_N) / 4.
   *
+  * The campaign is WALL-CLOCK BUDGETED: it picks the largest corpus size
+  * whose projected 1-core + 4-core pair fits the remaining budget (reps
+  * are cut before size), re-projects from the walls it actually measures
+  * before launching each further child, and ALWAYS prints the final JSON
+  * line with whatever samples completed — a truncated campaign degrades to
+  * fewer reps, never to a missing hard signal (the round-3 failure mode:
+  * a fixed 2-rep 2.4M default exceeded the driver's bench budget and the
+  * whole report was lost to a timeout).
+  *
   * Prints ONE JSON line. Knobs (env):
-  *   SPARK_GRAFT_CPUS          high parallelism level (default 32)
-  *   SPARK_GRAFT_BENCH_PAGES   corpus size for the crawl bench (default 120000)
-  *   SPARK_GRAFT_BENCH_CRAWL   "0" to skip the crawl bench
+  *   SPARK_GRAFT_CPUS          parallelism for part 1 + corpus build (default 32)
+  *   SPARK_GRAFT_BENCH_BUDGET  total wall budget in seconds for this main,
+  *                             queries + campaign (default 2100 — the
+  *                             round-3 driver kill landed between ~38 and
+  *                             ~47 min after process start, so 2100 in-main
+  *                             + sbt startup stays under a 40-min timeout)
+  *   SPARK_GRAFT_BENCH_PAGES   corpus size; 0 = auto-pick largest that fits
+  *                             the budget (default 0)
+  *   SPARK_GRAFT_BENCH_LEVELS  comma-separated core counts (default "1,4")
+  *   SPARK_GRAFT_BENCH_REPS    max samples per level (default 3; the budget
+  *                             usually cuts earlier)
+  *   SPARK_GRAFT_BENCH_BONUS   one extra high-thread level sampled ONCE if
+  *                             budget remains after the rep loop (default 8;
+  *                             "" disables) — keeps the bus-bound regime
+  *                             visible without funding it from rep budget
+  *   SPARK_GRAFT_BENCH_BODY    per-page body bytes (default 16000)
+  *   SPARK_GRAFT_BENCH_SEEDSTEP seed every Nth page (default 2)
+  *   SPARK_GRAFT_BENCH_CRAWL   "0" to skip the crawl campaign
+  *   SPARK_GRAFT_BENCH_QUERIES "0" to skip the per-query bench
   */
 object Bench {
 
@@ -36,11 +59,12 @@ object Bench {
     s
   }
 
-  /** One crawl sample: work done, wall secs, per-phase wall decomposition,
-    * task-time accounting (run/cpu/gc seconds + thread utilization) from
-    * the child's Spark listener.
+  /** One crawl sample: work done, timed wall secs, total child wall secs
+    * (JVM + corpus read + warmup + timed waves — what the budget pays),
+    * per-phase wall decomposition, task-time accounting from the child's
+    * Spark listener.
     */
-  final case class CrawlSample(work: Long, secs: Double,
+  final case class CrawlSample(work: Long, secs: Double, childWall: Double,
                                phases: Map[String, Double],
                                util: Map[String, Double] = Map.empty)
 
@@ -66,9 +90,11 @@ object Bench {
       sys.env.getOrElse("SPARK_GRAFT_BENCH_SEEDSTEP", "2"))
     val pb = new ProcessBuilder(cmd: _*)
     pb.redirectErrorStream(true)
+    val tChild = System.nanoTime()
     val proc = pb.start()
     val out = new String(proc.getInputStream.readAllBytes(), "UTF-8")
     proc.waitFor()
+    val childWall = (System.nanoTime() - tChild) / 1e9
     def kvLine(tag: String): Map[String, Double] =
       out.linesIterator.find(_.startsWith(tag)).map { line =>
         line.split(" ").drop(1).flatMap(_.split("=") match {
@@ -79,11 +105,11 @@ object Bench {
     out.linesIterator.find(_.startsWith("CRAWL_RESULT")) match {
       case Some(line) =>
         val parts = line.split(" ")
-        CrawlSample(parts(1).toLong, parts(2).toDouble,
+        CrawlSample(parts(1).toLong, parts(2).toDouble, childWall,
           kvLine("CRAWL_PHASES"), kvLine("CRAWL_UTIL"))
       case None =>
         System.err.println(s"crawl child failed:\n${out.takeRight(2000)}")
-        CrawlSample(0L, 1.0, Map.empty)
+        CrawlSample(0L, 1.0, childWall, Map.empty)
     }
   }
 
@@ -114,17 +140,57 @@ object Bench {
       }))
   }
 
+  /** Measured child-wall model for the default campaign config (16 KB
+    * bodies, seed step 2, 3 timed waves + quarter warmup), calibrated on
+    * this box (round 4; see BENCH/BASELINE.md). Values are TOTAL child
+    * wall seconds (JVM + warmup + timed), deliberately ~10% above the
+    * calibration measurements so a projection error truncates reps instead
+    * of overrunning the budget. Linear interpolation between rungs.
+    */
+  private val wallModel: Seq[(Long, Map[Int, Double], Double)] = Seq(
+    // (pages, level -> child wall secs, corpus build secs)
+    (2400000L, Map(1 -> 1850.0, 2 -> 1000.0, 4 -> 560.0, 8 -> 390.0, 32 -> 400.0), 260.0),
+    (1200000L, Map(1 -> 950.0, 2 -> 520.0, 4 -> 300.0, 8 -> 215.0, 32 -> 220.0), 140.0),
+    (600000L, Map(1 -> 490.0, 2 -> 275.0, 4 -> 165.0, 8 -> 125.0, 32 -> 130.0), 80.0),
+    (300000L, Map(1 -> 260.0, 2 -> 150.0, 4 -> 95.0, 8 -> 75.0, 32 -> 80.0), 55.0))
+
+  private def projWall(pages: Long, level: Int): Double = {
+    val sorted = wallModel.sortBy(_._1)
+    def at(p: (Long, Map[Int, Double], Double)): Double =
+      p._2.getOrElse(level, p._2(p._2.keys.filter(_ <= level).maxOption.getOrElse(p._2.keys.min)))
+    val below = sorted.filter(_._1 <= pages).lastOption
+    val above = sorted.find(_._1 >= pages)
+    (below, above) match {
+      case (Some(b), Some(a)) if a._1 == b._1 => at(b)
+      case (Some(b), Some(a)) =>
+        at(b) + (at(a) - at(b)) * (pages - b._1).toDouble / (a._1 - b._1)
+      case (Some(b), None) => at(b) * pages.toDouble / b._1 // extrapolate up
+      case (None, Some(a)) => at(a) * pages.toDouble / a._1 // extrapolate down
+      case _ => Double.MaxValue
+    }
+  }
+  private def projBuild(pages: Long): Double = {
+    val sorted = wallModel.sortBy(_._1)
+    val below = sorted.filter(_._1 <= pages).lastOption
+    val above = sorted.find(_._1 >= pages)
+    (below, above) match {
+      case (Some(b), Some(a)) if a._1 == b._1 => b._3
+      case (Some(b), Some(a)) =>
+        b._3 + (a._3 - b._3) * (pages - b._1).toDouble / (a._1 - b._1)
+      case (Some(b), None) => b._3 * pages.toDouble / b._1
+      case (None, Some(a)) => a._3
+      case _ => Double.MaxValue
+    }
+  }
+
   def main(args: Array[String]): Unit = {
+    val tMain = System.nanoTime()
+    def elapsed: Double = (System.nanoTime() - tMain) / 1e9
+    val budget = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "2100").toDouble
+
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    // default = the BENCH/BASELINE.md campaign config at 2.4M pages /
-    // 48k hosts / 16 KB bodies: the north rule is throughput scaling
-    // efficiency ≥0.8 from N to 4N, and the per-wave serial floor is fixed
-    // per WAVE, so efficiency climbs with wave size (measured 1→4: 0.76 at
-    // 600k → 0.91 at 2.4M). The default measures the amortized regime the
-    // rule describes — a 10^10-row frontier feeding 1000 executors is five
-    // orders of magnitude more per-wave work still
-    val benchPages = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAGES", "2400000").toLong
+    val pagesEnv = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAGES", "0").toLong
     val doCrawl = sys.env.getOrElse("SPARK_GRAFT_BENCH_CRAWL", "1") != "0"
 
     // ---- part 1: driver-contract query bench ----
@@ -143,91 +209,138 @@ object Bench {
       spark.stop()
     }
 
-    // ---- part 2: crawl scaling protocol (BASELINE.md) ----
+    // ---- part 2: crawl scaling protocol (BASELINE.md), budget-aware ----
     var crawlJson = ""
     if (doCrawl) {
-      val spec = Corpus.Spec(nPages = benchPages, nHosts = math.max(64, (benchPages / 50).toInt),
+      val levels = sys.env.getOrElse("SPARK_GRAFT_BENCH_LEVELS", "1,4")
+        .split(",").map(_.trim.toInt).filter(c => c >= 1 && c <= cpus).toSeq
+      val maxReps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+      val safety = 0.93 // projections must underfill the budget slightly
+
+      // size selection: largest rung whose build + ONE sample per level
+      // fits what's left of the budget (reps are opportunistic extras,
+      // cut before size is); explicit SPARK_GRAFT_BENCH_PAGES overrides
+      def pairCost(pages: Long): Double =
+        projBuild(pages) + levels.map(l => projWall(pages, l)).sum
+      val benchPages: Long =
+        if (pagesEnv > 0) pagesEnv
+        else wallModel.map(_._1).sortBy(-_.toLong)
+          .find(p => pairCost(p) <= (budget - elapsed) * safety)
+          .getOrElse(wallModel.map(_._1).min)
+      System.err.println(f"BENCH_PLAN pages=$benchPages budget=$budget%.0f " +
+        f"elapsed=$elapsed%.1f projected_pair=${pairCost(benchPages)}%.1f")
+
+      val spec = Corpus.Spec(nPages = benchPages,
+        nHosts = math.max(64, (benchPages / 50).toInt),
         bodyBytes = sys.env.getOrElse("SPARK_GRAFT_BENCH_BODY", "16000").toInt)
       val corpusDir = java.nio.file.Files.createTempDirectory("bench-corpus").toString
       val waves = 3
-      // every adjacent-4× level pair in the set (1→4 here) is an N→4N
-      // measurement per the north rule; the full 1/2/4/8/32 curve lives in
-      // BENCH/BASELINE.md. Default pair = 1→4 because local[N] "executors"
-      // are threads on ONE memory bus: the child's task-time accounting
-      // measures run-time INFLATION on bit-identical work as thread count
-      // grows (+5% at 4 threads, ~3.2× at 8+ in a shared-LLC window) while
-      // utilization stays ~0.87-0.90 — from 8 threads up the measurement is
-      // bandwidth saturation, which independent cluster executors do not
-      // share. Higher levels (8-core absolute-throughput headline, 32) are
-      // opt-in via SPARK_GRAFT_BENCH_LEVELS.
-      val levels = sys.env.getOrElse("SPARK_GRAFT_BENCH_LEVELS", "1,4")
-        .split(",").map(_.trim.toInt).filter(c => c >= 1 && c <= cpus).toSeq
-      val lowCores = levels.find(c => levels.contains(c * 4)).getOrElse(levels.head)
-      val hiCores = if (levels.contains(lowCores * 4)) lowCores * 4 else levels.last
-      val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
+
       // corpus-build-only pass (untimed, waves=0) at full parallelism
-      crawlRun(cpus, corpusDir, spec, 0)
-      // best-of-N per level with the levels INTERLEAVED (lo,hi,xhi,lo,…):
-      // this box is a VM with sustained multi-minute CPU-steal windows, so
-      // running all reps of one level back-to-back lets a single bad
-      // window poison that level's best; interleaving decorrelates, and
-      // min wall-clock per level is the steal-free estimate
-      // progressive evidence on stderr (sbt-logger-prefixed, so the final
-      // stdout JSON line stays the only clean-parse line): if the campaign
-      // is killed mid-run, every completed sample is still in the captured
-      // tail instead of lost with the unified report
-      val samples = (1 to reps).flatMap { rep =>
-        levels.map { c =>
-          val r = crawlRun(c, corpusDir, spec, waves)
-          System.err.println(
-            f"BENCH_PROGRESS rep=$rep cores=$c work=${r.work} secs=${r.secs}%.1f " +
-              f"urls_per_sec=${r.work / r.secs}%.1f")
-          c -> r
+      val buildSample = crawlRun(cpus, corpusDir, spec, 0)
+      System.err.println(f"BENCH_BUILD pages=$benchPages wall=${buildSample.childWall}%.1f")
+      val corpusOk = java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$corpusDir/web_bucketspec.json"))
+
+      if (!corpusOk) {
+        // a failed corpus build must not silently hand the 1-core child a
+        // single-threaded rebuild — abort the campaign, keep the JSON line
+        System.err.println("BENCH_ERROR corpus build failed; campaign skipped")
+        crawlJson = ""","crawl":{"error":"corpus build failed"}"""
+      } else {
+        // best-of-N per level with the levels INTERLEAVED (lo,hi,lo,hi,…):
+        // this box is a VM with sustained multi-minute CPU-steal windows, so
+        // running all reps of one level back-to-back lets a single bad
+        // window poison that level's best; interleaving decorrelates, and
+        // min wall-clock per level is the steal-free estimate.
+        // Before each child: project its wall from the walls ACTUALLY
+        // measured this campaign (fallback: the static model) and skip the
+        // child if it would overrun the budget — every completed sample
+        // still reaches the final JSON (and stderr, for a killed campaign).
+        val samples = scala.collection.mutable.ArrayBuffer.empty[(Int, CrawlSample)]
+        def measuredWall(c: Int): Double = {
+          val ws = samples.collect { case (`c`, r) => r.childWall }
+          if (ws.isEmpty) projWall(benchPages, c) else ws.max * 1.05
         }
+        var rep = 1
+        var continue = true
+        while (continue && rep <= maxReps) {
+          var ranAny = false
+          levels.foreach { c =>
+            val nHave = samples.count(_._1 == c)
+            val fits = elapsed + measuredWall(c) <= budget * safety
+            // rep 1 always runs (a pair was budgeted in size selection);
+            // later reps only if the projection fits
+            if (nHave < rep && (rep == 1 || fits)) {
+              val r = crawlRun(c, corpusDir, spec, waves)
+              samples += c -> r
+              ranAny = true
+              System.err.println(
+                f"BENCH_PROGRESS rep=$rep cores=$c work=${r.work} secs=${r.secs}%.1f " +
+                  f"child_wall=${r.childWall}%.1f urls_per_sec=${r.work / r.secs}%.1f " +
+                  f"elapsed=$elapsed%.1f")
+            }
+          }
+          if (!ranAny) continue = false
+          rep += 1
+        }
+
+        // opportunistic high-thread absolute point (regressions in the
+        // bus-bound regime stay visible when budget allows; never funded
+        // at the expense of the N→4N rep loop above)
+        val bonus = sys.env.getOrElse("SPARK_GRAFT_BENCH_BONUS", "8")
+        bonus.toIntOption.filter(c => c > 1 && c <= cpus && !levels.contains(c))
+          .foreach { c =>
+            if (elapsed + projWall(benchPages, c) <= budget * safety) {
+              val r = crawlRun(c, corpusDir, spec, waves)
+              samples += c -> r
+              System.err.println(
+                f"BENCH_BONUS cores=$c work=${r.work} secs=${r.secs}%.1f " +
+                  f"urls_per_sec=${r.work / r.secs}%.1f elapsed=$elapsed%.1f")
+            }
+          }
+        val reported = (levels ++ bonus.toIntOption.filter(c =>
+          samples.exists(_._1 == c) && !levels.contains(c))).distinct
+
+        def best(cores: Int): CrawlSample =
+          samples.collect { case (c, r) if c == cores => r }.minBy(_.secs)
+        def tp(cores: Int): Double = { val b = best(cores); b.work / b.secs }
+        def eff(lo: Int, hi: Int): Double = (tp(hi) / tp(lo)) / (hi.toDouble / lo)
+        val lowCores = levels.find(c => levels.contains(c * 4)).getOrElse(levels.head)
+        val hiCores = if (levels.contains(lowCores * 4)) lowCores * 4 else levels.last
+        val levelJson = reported.filter(c => samples.exists(_._1 == c)).map { c =>
+          val b = best(c)
+          val phases = b.phases.toSeq.sortBy(_._1)
+            .map { case (k, v) => f""""$k":$v%.2f""" }.mkString("{", ",", "}")
+          val util = b.util.toSeq.sortBy(_._1)
+            .map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+          val all = samples.collect { case (`c`, r) => f"${r.secs}%.1f" }
+            .mkString("[", ",", "]")
+          f""""$c":{"best_secs":${b.secs}%.1f,"urls_per_sec":${b.work / b.secs}%.1f,""" +
+            f""""samples_secs":$all,"phases":$phases,"task_time":$util}"""
+        }.mkString("{", ",", "}")
+        // every adjacent-4× pair present in the level set is an N→4N
+        // efficiency measurement
+        val pairs = levels.filter(c => levels.contains(c * 4) &&
+          samples.exists(_._1 == c) && samples.exists(_._1 == c * 4))
+        val effJson = pairs
+          .map(c => f""""${c}_to_${c * 4}":${eff(c, c * 4)}%.3f""")
+          .mkString("{", ",", "}")
+        val nReps = levels.map(c => samples.count(_._1 == c)).min
+        crawlJson =
+          f""","crawl":{"pages":$benchPages,"waves":$waves,"reps":$nReps,""" +
+            f""""budget_secs":$budget%.0f,""" +
+            f""""cores_hi":$hiCores,"cores_lo":$lowCores,""" +
+            f""""urls_per_sec_hi":${tp(hiCores)}%.1f,"urls_per_sec_lo":${tp(lowCores)}%.1f,""" +
+            f""""work_hi":${best(hiCores).work},"secs_hi":${best(hiCores).secs}%.1f,""" +
+            f""""secs_lo":${best(lowCores).secs}%.1f,""" +
+            f""""scaling_efficiency":${eff(lowCores, hiCores)}%.3f,""" +
+            f""""efficiencies":$effJson,""" +
+            f""""levels":$levelJson}"""
       }
-      def best(cores: Int): CrawlSample =
-        samples.collect { case (c, r) if c == cores => r }.minBy(_.secs)
-      def tp(cores: Int): Double = { val b = best(cores); b.work / b.secs }
-      def eff(lo: Int, hi: Int): Double = (tp(hi) / tp(lo)) / (hi.toDouble / lo)
-      val levelJson = levels.map { c =>
-        val b = best(c)
-        val phases = b.phases.toSeq.sortBy(_._1)
-          .map { case (k, v) => f""""$k":$v%.2f""" }.mkString("{", ",", "}")
-        val util = b.util.toSeq.sortBy(_._1)
-          .map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
-        val all = samples.collect { case (`c`, r) => f"${r.secs}%.1f" }
-          .mkString("[", ",", "]")
-        f""""$c":{"best_secs":${b.secs}%.1f,"urls_per_sec":${b.work / b.secs}%.1f,""" +
-          f""""samples_secs":$all,"phases":$phases,"task_time":$util}"""
-      }.mkString("{", ",", "}")
-      // every adjacent-4× pair present in the level set is an N→4N
-      // efficiency measurement
-      val pairs = levels.filter(c => levels.contains(c * 4))
-      val effJson = pairs
-        .map(c => f""""${c}_to_${c * 4}":${eff(c, c * 4)}%.3f""")
-        .mkString("{", ",", "}")
-      crawlJson =
-        f""","crawl":{"pages":$benchPages,"waves":$waves,"reps":$reps,""" +
-          f""""cores_hi":$hiCores,"cores_lo":$lowCores,""" +
-          f""""urls_per_sec_hi":${tp(hiCores)}%.1f,"urls_per_sec_lo":${tp(lowCores)}%.1f,""" +
-          f""""work_hi":${best(hiCores).work},"secs_hi":${best(hiCores).secs}%.1f,""" +
-          f""""secs_lo":${best(lowCores).secs}%.1f,""" +
-          f""""scaling_efficiency":${eff(lowCores, hiCores)}%.3f,""" +
-          f""""efficiencies":$effJson,""" +
-          f""""levels":$levelJson}"""
       // the ~GB-sized synthetic corpus has no value past the campaign —
       // repeated bench runs would otherwise accumulate one copy each
-      def rm(p: java.nio.file.Path): Unit = {
-        if (java.nio.file.Files.isDirectory(p)) {
-          val s = java.nio.file.Files.list(p)
-          val cs = try { val it = s.iterator(); val b = Seq.newBuilder[java.nio.file.Path]
-            while (it.hasNext) b += it.next(); b.result() } finally s.close()
-          cs.foreach(rm)
-        }
-        java.nio.file.Files.deleteIfExists(p)
-      }
-      try rm(java.nio.file.Paths.get(corpusDir))
-      catch { case _: Exception => () }
+      graft.tools.FsUtil.deleteRecursively(corpusDir)
     }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }

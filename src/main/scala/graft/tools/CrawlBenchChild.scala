@@ -107,18 +107,6 @@ object CrawlBenchChild {
     // the per-run crawl stores are ~GB-sized and a campaign forks many
     // children — delete them or the box's /tmp fills mid-campaign (the
     // shared corpus dir is the only thing worth keeping warm)
-    Seq(warmDir, work).foreach { d =>
-      def rm(p: java.nio.file.Path): Unit = {
-        if (java.nio.file.Files.isDirectory(p)) {
-          val s = java.nio.file.Files.list(p)
-          val cs = try { val it = s.iterator(); val b = Seq.newBuilder[java.nio.file.Path]
-            while (it.hasNext) b += it.next(); b.result() } finally s.close()
-          cs.foreach(rm)
-        }
-        java.nio.file.Files.deleteIfExists(p)
-      }
-      try rm(java.nio.file.Paths.get(d))
-      catch { case _: Exception => () }
-    }
+    Seq(warmDir, work).foreach(FsUtil.deleteRecursively)
   }
 }
