@@ -79,9 +79,11 @@ object BloomShards {
     * or closure shipping. NOTE: kept as the measured 20×-slower comparison
     * baseline for BloomProbeBench (per-row UnsafeRow.getBinary copies the
     * full filter bytes on every probe) — assumes a SINGLE shard row per
-    * bucket; the hot path is [[maybeSeenKeys]], which folds layered shards.
+    * bucket (it would double-probe rows under layered delta shards), so it
+    * is package-private: the engine hot path is [[maybeSeenKeys]], which
+    * folds layered shards correctly.
     */
-  def flagMaybeSeen(rows: DataFrame, bloom: Option[Ref]): DataFrame = bloom match {
+  private[graft] def flagMaybeSeen(rows: DataFrame, bloom: Option[Ref]): DataFrame = bloom match {
     case None => rows.withColumn("maybe_seen", lit(true))
     case Some(Ref(key, shards)) =>
       val probe = udf((bucket: Int, hash: Long, bytes: Array[Byte]) =>

@@ -38,12 +38,26 @@ object Dedup {
     * stay float-free. Shuffle = shingle join (inverted index), classic
     * "small candidate set" shape; hot shingles can be dropped by df
     * frequency cap for scale.
+    *
+    * The df cap itself is skew-proof: document frequency comes from a
+    * map-side-combinable `groupBy(gram).count` (partial aggregation
+    * collapses a mega-gram per input partition before the exchange — a
+    * window over gram would put every occurrence of the hottest gram in
+    * ONE partition first, recreating the exact straggler the cap guards
+    * against), and the HOT grams — at most Σoccurrences/cap distinct
+    * values, tiny by construction — broadcast into a left-anti, so the
+    * full shingle set never shuffles just to learn its df.
     */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 2, maxShingleFreq: Int = 1000): DataFrame = {
     val sh = shingles(docs, n)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val rare = sh.withColumn("df", count(lit(1)).over(Window.partitionBy(col("gram"))))
-      .filter(col("df") <= maxShingleFreq).drop("df")
+    val rare =
+      if (maxShingleFreq == Int.MaxValue) sh // exact twin: nothing to cap
+      else {
+        val hot = sh.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxShingleFreq).select(col("gram"))
+        sh.join(broadcast(hot), Seq("gram"), "left_anti")
+      }
     val pairs = rare.as("a").join(rare.as("b"),
         col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))

@@ -129,36 +129,58 @@ object Similarity {
     * arrays — the projection is a single zip_with/aggregate per bit over
     * constants, instead of re-hashing row×dim×bit at runtime.
     */
-  def cosineLshBuckets(embeddings: DataFrame, nBits: Int = 16, dim: Int = 64): DataFrame = {
+  /** Sign-signature of `nBits` hyperplanes starting at family index
+    * `bitOffset` — shared by the single-table buckets and the banded
+    * multi-table near-dup pairs (each table = an independent slice of the
+    * same deterministic hyperplane family).
+    */
+  private def lshSignature(nBits: Int, dim: Int, bitOffset: Int): Column = {
     val sigBits = (0 until nBits).map { b =>
       val weights = array((0 until dim).map(d =>
-        lit(graft.gen.RefImpl.lshWeight(b, d))): _*)
+        lit(graft.gen.RefImpl.lshWeight(bitOffset + b, d))): _*)
       val proj = aggregate(
         zip_with(col("embedding"), weights, (x, w) => x * w),
         lit(0.0d), (acc, v) => acc + v)
       when(proj > 0, shiftleft(lit(1L), b)).otherwise(0L)
     }
-    embeddings.select(col("vec_id"),
-      sigBits.reduce((a, b) => a.bitwiseOR(b)).as("lsh_bucket"))
+    sigBits.reduce((a, b) => a.bitwiseOR(b))
   }
 
-  /** Embedding-cosine near-duplicate pairs: LSH-bucketed candidate
-    * generation (same sign-signature bucket — an 8-byte join key), exact
-    * cosine verification within buckets only. Never all-pairs: the join
-    * is an equi-join on lsh_bucket, so at 100 TB the shuffle moves
-    * (vec_id, bucket, embedding) once and each bucket verifies
-    * independently. Recall is tuned with nBits (fewer bits → bigger
-    * buckets → higher recall, more verification).
+  def cosineLshBuckets(embeddings: DataFrame, nBits: Int = 16, dim: Int = 64): DataFrame =
+    embeddings.select(col("vec_id"), lshSignature(nBits, dim, 0).as("lsh_bucket"))
+
+  /** Embedding-cosine near-duplicate pairs: banded multi-table LSH
+    * candidate generation, exact cosine verification once per candidate.
+    *
+    * `nTables` INDEPENDENT sign-signatures of `nBits` hyperplanes each
+    * (table t uses hyperplane family indices [t·nBits, (t+1)·nBits)); a
+    * pair is a candidate if it collides in ANY table — the same
+    * band/bucket shape as [[Dedup.minhashLshPairs]]. The join key is
+    * (table, 8-byte signature), so bucket width is bounded by the
+    * nBits-bit signature (expected N/2^nBits per bucket for non-dup
+    * vectors) instead of one global 2^nBits-bucket partition: at 10^9
+    * vectors, 16-bit tables hold ~15k random vectors per bucket, not
+    * ~4M — the in-bucket verify stays near-linear. Recall is tuned with
+    * nTables (more tables → more chances to collide); a true near-dup
+    * cluster of course still shares buckets — its quadratic verify is the
+    * answer itself, not overhead. Never all-pairs.
     */
   def cosineNearDupPairs(embeddings: DataFrame, minCos: Double,
-                         nBits: Int = 8, dim: Int = 64): DataFrame = {
-    val keyed = cosineLshBuckets(embeddings, nBits, dim)
-      .join(embeddings, Seq("vec_id"))
-    keyed.as("a").join(keyed.as("b"),
-        col("a.lsh_bucket") === col("b.lsh_bucket") &&
+                         nBits: Int = 16, dim: Int = 64,
+                         nTables: Int = 16): DataFrame = {
+    val banded = embeddings.select(col("vec_id"),
+      posexplode(array((0 until nTables).map(t =>
+        lshSignature(nBits, dim, t * nBits)): _*)).as(Seq("table", "sig")))
+    val cands = banded.as("a").join(banded.as("b"),
+        col("a.table") === col("b.table") && col("a.sig") === col("b.sig") &&
           col("a.vec_id") < col("b.vec_id"))
-      .withColumn("cos", cosine(col("a.embedding"), col("b.embedding")))
-      .filter(col("cos") >= minCos)
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct() // verify each candidate pair ONCE across tables
+    cands
+      .join(embeddings.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a")), Seq("vec_a"))
+      .join(embeddings.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b")), Seq("vec_b"))
+      .withColumn("cos", cosine(col("emb_a"), col("emb_b")))
+      .filter(col("cos") >= minCos)
+      .select(col("vec_a"), col("vec_b"))
   }
 }

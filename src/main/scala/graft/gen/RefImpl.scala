@@ -186,13 +186,13 @@ object RefImpl {
     if ((if (m < 0) m + 2 else m) == 0) 1.0 else -1.0
   }
 
-  def cosLshBucket(vec: Array[Float], nBits: Int): Long = {
+  def cosLshBucket(vec: Array[Float], nBits: Int, bitOffset: Int = 0): Long = {
     var out = 0L
     var b = 0
     while (b < nBits) {
       var proj = 0.0d
       var d = 0
-      while (d < vec.length) { proj += vec(d) * lshWeight(b, d); d += 1 }
+      while (d < vec.length) { proj += vec(d) * lshWeight(bitOffset + b, d); d += 1 }
       if (proj > 0) out |= (1L << b)
       b += 1
     }
@@ -200,18 +200,23 @@ object RefImpl {
   }
 
   /** Cosine near-dup pairs mirror of Similarity.cosineNearDupPairs:
-    * same-LSH-bucket candidates, exact cosine ≥ minCos.
+    * banded multi-table LSH — candidates collide in ANY of the nTables
+    * independent nBits signatures (table t = hyperplane indices
+    * [t·nBits, (t+1)·nBits)), verified once with exact cosine ≥ minCos.
     */
   def cosNearDupPairs(embs: Seq[(Long, Array[Float])], minCos: Double,
-                      nBits: Int): Seq[(Long, Long)] = {
-    val byBucket = embs.groupBy { case (_, v) => cosLshBucket(v, nBits) }
-    byBucket.valuesIterator.flatMap { vs =>
-      for {
-        (ia, va) <- vs
-        (ib, vb) <- vs
-        if ia < ib && cosine(va, vb) >= minCos
-      } yield (ia, ib)
-    }.toSeq.sorted
+                      nBits: Int, nTables: Int = 16): Seq[(Long, Long)] = {
+    val cands = scala.collection.mutable.Set.empty[(Long, Long)]
+    (0 until nTables).foreach { t =>
+      val byBucket = embs.groupBy { case (_, v) => cosLshBucket(v, nBits, t * nBits) }
+      byBucket.valuesIterator.foreach { vs =>
+        for ((ia, _) <- vs; (ib, _) <- vs if ia < ib) cands += ((ia, ib))
+      }
+    }
+    val byId = embs.toMap
+    cands.iterator
+      .filter { case (a, b) => cosine(byId(a), byId(b)) >= minCos }
+      .toSeq.sorted
   }
 
   /** Cosine of a float vector against a double centroid, in the exact
