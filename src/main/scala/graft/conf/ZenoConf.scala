@@ -42,6 +42,11 @@ final case class ZenoConf(
     // is commented out pending a status bug (postprocessor/item.go:57-69),
     // so default-off preserves reference crawl parity
     facebookEmbeds: Boolean = false,
+    // discard hook chain (archiver/discard/discard.go:30-38): challenge
+    // pages are always discarded; these two are flag-gated like the
+    // reference's --warc-discard-status / --max-content-length
+    warcDiscardStatus: Seq[Int] = Nil,
+    maxContentLengthMiB: Int = 0, // 0 = unlimited
     useBloomSeenFilter: Boolean = true,
     bloomExpectedPerShard: Long = 100000L,
     bloomFpp: Double = 0.01

@@ -31,14 +31,67 @@ object Multimodal {
     else "unknown"
   }
 
+  final case class ImageDims(width: Int, height: Int)
+
+  /** Pure-JVM image dimensions — no codec jars needed, header-only reads:
+    * PNG IHDR (big-endian u32 pair after the 8-byte signature + chunk
+    * header), GIF logical screen descriptor (little-endian u16 pair at
+    * offset 6), JPEG SOF0/1/2 frame header found by walking the marker
+    * segments (APPn/COM/DQT/... skipped via their big-endian length
+    * fields, so dimensions are recovered regardless of metadata segment
+    * layout). Returns None for non-images, truncated headers, or corrupt
+    * segment chains — never throws.
+    */
+  def imageDims(b: Array[Byte]): Option[ImageDims] = {
+    if (b == null) return None
+    def u8(i: Int): Int = b(i) & 0xff
+    def be16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+    def be32(i: Int): Long =
+      (u8(i).toLong << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    sniffFormat(b) match {
+      case "png" =>
+        // 8-byte signature, 4-byte chunk length, "IHDR", width, height
+        if (b.length >= 24 && b(12) == 'I' && b(13) == 'H' && b(14) == 'D' && b(15) == 'R')
+          Some(ImageDims(be32(16).toInt, be32(20).toInt))
+        else None
+      case "gif" =>
+        if (b.length >= 10) Some(ImageDims(le16(6), le16(8))) else None
+      case "jpeg" =>
+        // walk marker segments from offset 2 until a start-of-frame
+        var i = 2
+        while (i + 3 < b.length && u8(i) == 0xff) {
+          val marker = u8(i + 1)
+          if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd9)) {
+            i += 2 // standalone marker, no length field
+          } else {
+            val len = be16(i + 2)
+            if (len < 2) return None // corrupt length
+            // SOF0 (baseline) / SOF1 / SOF2 (progressive): FF Cx LL LL P HH HH WW WW
+            if ((marker == 0xc0 || marker == 0xc1 || marker == 0xc2) && i + 8 < b.length)
+              return Some(ImageDims(be16(i + 7), be16(i + 5)))
+            i += 2 + len
+          }
+        }
+        None
+      case _ => None
+    }
+  }
+
   /** Attach typed metadata to a binary column — built-in exprs where
-    * possible (length, hex prefix), format sniff via a tiny scalar UDF.
+    * possible (length, hex prefix), format sniff + header-only image
+    * dimensions via tiny scalar UDFs.
     */
   def withMeta(df: DataFrame, binCol: String = "content"): DataFrame = {
     val sniff = udf((b: Array[Byte]) => sniffFormat(b))
+    val dims = udf((b: Array[Byte]) => imageDims(b))
     df.withColumn("format", sniff(col(binCol)))
       .withColumn("n_bytes", length(col(binCol)))
       .withColumn("magic_hex", hex(substring(col(binCol), 1, 4)))
+      .withColumn("__dims", dims(col(binCol)))
+      .withColumn("width", col("__dims.width"))
+      .withColumn("height", col("__dims.height"))
+      .drop("__dims")
   }
 
   /** STUB decode: a deterministic fake "feature vector" per blob (first 8

@@ -157,7 +157,10 @@ object Corpus {
              |$filler
              |</body></html>""".stripMargin
         (body, s"Article $j on $host. See also http://${hostName(crossH)}/ plain text.",
-          if (h == 1 && j % 5 == 2) 429 else if (h == 2 && j % 3 == 1) 500 else 200,
+          if (h == 1 && j % 5 == 2) 429
+          else if (h == 2 && j % 3 == 1) 500
+          else if ((h == 3 || h == 4) && j % 5 == 2) 403 // challenge pages
+          else 200,
           "text/html", "")
       case RedirectPage =>
         ("", "", 301, "text/html", linkTo(h, (j + 1) % math.max(1, within)))
@@ -192,17 +195,31 @@ object Corpus {
 
     val linkHeader =
       if (kind == JsonPage && j % 2 == 1) s"""<${linkTo(h, nj(41))}>; rel="next"""" else ""
+    // challenge hosts: host3 serves Cloudflare challenge pages (403 +
+    // cf-mitigated: challenge), host4 Akamai ones (403 + Server:
+    // AkamaiGHost) — the discard hook chain must drop them unextracted
+    val (server, cfMitigated) =
+      if (kind == Article && j % 5 == 2 && h == 3) ("cloudflare", "challenge")
+      else if (kind == Article && j % 5 == 2 && h == 4) ("AkamaiGHost", "")
+      else ("", "")
     val page = PageRow(url, ts,
       html.getBytes(java.nio.charset.StandardCharsets.UTF_8),
       text, if (i % 7 == 0) "de" else "en")
-    val meta = FetchMeta(url, status, ct, "", linkHeader, location)
+    val meta = FetchMeta(url, status, ct, server, linkHeader, location, cfMitigated)
     (page, meta)
   }
 
-  /** Robots rules: odd-indexed hosts disallow /private/. */
+  /** Robots rules: odd-indexed hosts disallow /private/; every 4th-indexed
+    * host additionally carves back /private/1… with a LONGER allow rule,
+    * so longest-prefix-wins (with allow beating disallow on ties) is
+    * exercised by real overlapping rules, not just single-prefix matches.
+    */
   def robots(spec: Spec): Seq[RobotsRule] =
-    (0 until spec.nHosts).filter(_ % 2 == 1)
-      .map(h => RobotsRule(hostName(h), "/private/", allow = false))
+    (0 until spec.nHosts).filter(_ % 2 == 1).flatMap { h =>
+      RobotsRule(hostName(h), "/private/", allow = false) +:
+        (if (h % 4 == 1) Seq(RobotsRule(hostName(h), "/private/1", allow = true))
+         else Nil)
+    }
 
   def robotsMap(spec: Spec): Map[String, Seq[(String, Boolean)]] =
     robots(spec).groupBy(_.host).map { case (h, rs) =>
@@ -223,9 +240,11 @@ object Corpus {
     robots(spec).toDS().write.mode("overwrite").parquet(s"$dir/robots")
     val web = both.map { case (p, m) =>
       (p.url, p.warc_ts, p.html, p.text, p.lang,
-        m.status_code, m.content_type, m.server, m.link_header, m.location)
+        m.status_code, m.content_type, m.server, m.link_header, m.location,
+        m.cf_mitigated)
     }.toDF("url", "warc_ts", "html", "text", "lang",
-        "status_code", "content_type", "server", "link_header", "location")
+        "status_code", "content_type", "server", "link_header", "location",
+        "cf_mitigated")
     // hash-bucketed layout on the fetch-join key (≙ an Iceberg
     // bucket(N, url) partition transform): the per-wave fetch join then
     // co-locates by exchanging only the SMALL claimed side — no

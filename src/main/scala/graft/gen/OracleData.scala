@@ -64,13 +64,15 @@ object OracleData {
     seen.coalesce(1).write.mode("overwrite").parquet(s"$Dir/seen")
 
     // done_log: processed rows across 5 waves with dispositions
-    val dispositions = Array("FETCHED", "FETCHED", "FETCHED", "FAILED", "SEEN", "REDIRECT")
+    // (DISCARDED = blocked by the discard hook chain — challenge pages etc)
+    val dispositions = Array("FETCHED", "FETCHED", "FETCHED", "FAILED", "SEEN",
+      "REDIRECT", "DISCARDED")
     val done = spark.range(n).filter(_ % 2 == 0).map { i =>
       val (h, j) = Corpus.locate(i, spec)
       val url = Corpus.pageUrl(h, j)
       val host = Corpus.hostName(h)
       val seed = Corpus.pageUrl(h, 0)
-      (url, host, seed, (i % 5).toInt + 1, dispositions((i % 6).toInt),
+      (url, host, seed, (i % 5).toInt + 1, dispositions((i % 7).toInt),
         (i % 7).toInt, (i % 4).toInt)
     }.toDF("url_canon", "host", "seed_id", "wave", "disposition", "n_outlinks", "hops")
     done.coalesce(1).write.mode("overwrite").parquet(s"$Dir/done_log")
@@ -137,26 +139,55 @@ object OracleData {
       .toDF("vec_id", "embedding")
       .coalesce(1).write.mode("overwrite").parquet(s"$Dir/embeddings")
 
-    // media: opaque binary blobs with real magic bytes across the formats
-    // Multimodal.sniffFormat knows, plus short/unknown payloads
-    val magics: Array[Array[Byte]] = Array(
-      Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte, 0x0D, 0x0A, 0x1A, 0x0A),
-      Array(0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 0xE0.toByte),
-      Array('G'.toByte, 'I'.toByte, 'F'.toByte, '8'.toByte, '9'.toByte, 'a'.toByte),
-      Array('R'.toByte, 'I'.toByte, 'F'.toByte, 'F'.toByte, 0x10, 0x00, 0x00, 0x00),
-      Array('I'.toByte, 'D'.toByte, '3'.toByte, 0x04, 0x00),
-      Array[Byte](0x00, 0x00, 0x00, 0x18, 'f'.toByte, 't'.toByte, 'y'.toByte, 'p'.toByte,
-        'i'.toByte, 's'.toByte, 'o'.toByte, 'm'.toByte),
-      Array[Byte](0x3C, 0x68, 0x74, 0x6D, 0x6C)) // '<html' → unknown
-    val media = (0 until 70).map { i =>
-      val magic = magics(i % magics.length)
-      val body = Array.tabulate(16 + (i * 7) % 64)(j => ((i * 31 + j * 13) % 251).toByte)
-      val blob = if (i % 11 == 10) Array[Byte](0x42, 0x43) // < 4 bytes → unknown
-        else magic ++ body
-      (i.toLong, blob)
-    }
-    media.toDF("id", "content")
+    media.map { case (id, blob, _) => (id, blob) }.toDF("id", "content")
       .coalesce(1).write.mode("overwrite").parquet(s"$Dir/media")
+  }
+
+  /** Deterministic media blobs with REAL headers: PNG carries a valid
+    * IHDR, JPEG a variable-length APP0 (+ optional COM) segment chain
+    * before SOF0, GIF a logical screen descriptor — so
+    * Multimodal.imageDims must actually parse, not pattern-match fixed
+    * offsets. Returns (id, blob, Option(width, height)); the dims come
+    * from the CONSTRUCTION parameters, giving the oracle pin an
+    * implementation-free expected table.
+    */
+  def media: Seq[(Long, Array[Byte], Option[(Int, Int)])] = (0 until 70).map { i =>
+    def be16(v: Int) = Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def be32(v: Int) = Array((v >>> 24).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def le16(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    val w = 16 + (i % 23)
+    val h = 16 + (i % 29)
+    val body = Array.tabulate(16 + (i * 7) % 64)(j => ((i * 31 + j * 13) % 251).toByte)
+    val (blob, dims): (Array[Byte], Option[(Int, Int)]) = (i % 7) match {
+      case _ if i % 11 == 10 => (Array[Byte](0x42, 0x43), None) // < 4 bytes → unknown
+      case 0 => // PNG: signature + IHDR(len=13) + width/height + bit/color/3 trailing
+        (Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A) ++
+          be32(13) ++ "IHDR".getBytes("US-ASCII") ++ be32(w) ++ be32(h) ++
+          Array[Byte](8, 6, 0, 0, 0) ++ body, Some((w, h)))
+      case 1 => // JPEG: SOI + APP0 (variable payload) [+ COM] + SOF0
+        val app0Payload = Array.fill(6 + i % 9)(0x4a.toByte)
+        val com: Array[Byte] =
+          if (i % 3 == 0) Array[Byte](0xFF.toByte, 0xFE.toByte) ++
+            be16(2 + 4 + i % 5) ++ Array.fill(4 + i % 5)(0x63.toByte)
+          else Array.emptyByteArray
+        (Array[Byte](0xFF.toByte, 0xD8.toByte) ++
+          Array[Byte](0xFF.toByte, 0xE0.toByte) ++ be16(2 + app0Payload.length) ++ app0Payload ++
+          com ++
+          Array[Byte](0xFF.toByte, 0xC0.toByte) ++ be16(17) ++ Array[Byte](8) ++
+          be16(h) ++ be16(w) ++ body, Some((w, h)))
+      case 2 => // GIF: header + logical screen descriptor (LE dims)
+        ("GIF89a".getBytes("US-ASCII") ++ le16(w) ++ le16(h) ++ body, Some((w, h)))
+      case 3 =>
+        (Array[Byte]('R', 'I', 'F', 'F', 0x10, 0x00, 0x00, 0x00) ++ body, None)
+      case 4 =>
+        (Array[Byte]('I', 'D', '3', 0x04, 0x00) ++ body, None)
+      case 5 =>
+        (Array[Byte](0x00, 0x00, 0x00, 0x18, 'f', 't', 'y', 'p', 'i', 's', 'o', 'm') ++ body, None)
+      case _ =>
+        (Array[Byte](0x3C, 0x68, 0x74, 0x6D, 0x6C) ++ body, None) // '<html' → unknown
+    }
+    (i.toLong, blob, dims)
   }
 
   /** Expected-output tables for queries whose semantics DuckDB cannot
@@ -192,9 +223,23 @@ object OracleData {
     RefImpl.ivfTopK(embs, (0L until 10L).toSeq, k = 5, nCells = 8, nProbe = 3)
       .toDF("query_id", "neighbor_id", "rank")
       .coalesce(1).write.mode("overwrite").parquet(s"$Dir/expected_ann_ivf")
-    RefImpl.cosNearDupPairs(embs, minCos = 0.95, nBits = 8)
+    RefImpl.cosNearDupPairs(embs, minCos = 0.95, nBits = 16, nTables = 16)
       .toDF("vec_a", "vec_b")
       .coalesce(1).write.mode("overwrite").parquet(s"$Dir/expected_cos_pairs")
+
+    // media dims: expected (id, format, width, height) straight from the
+    // fixture CONSTRUCTION parameters — the query must parse them back out
+    // of the bytes (PNG IHDR / JPEG SOF scan / GIF LSD)
+    media.map { case (id, blob, dims) =>
+      val fmt =
+        if (blob.length < 4) "unknown"
+        else (id % 7) match {
+          case 0 => "png"; case 1 => "jpeg"; case 2 => "gif"; case 3 => "riff"
+          case 4 => "mp3"; case 5 => "mp4"; case _ => "unknown"
+        }
+      (id, fmt, dims.map(_._1), dims.map(_._2))
+    }.toDF("id", "format", "width", "height")
+      .coalesce(1).write.mode("overwrite").parquet(s"$Dir/expected_media_dims")
 
     // canon: the frontier url list through graft.canon.Canon directly
     // (same mixed-scheme mutation as the frontier fixture)

@@ -124,7 +124,7 @@ final class CrawlLoop(
       CounterRow(s.wave, c.getOrElse("claimed", 0L), c.getOrElse("fetched", 0L),
         c.getOrElse("failed", 0L), c.getOrElse("deduped", 0L),
         c.getOrElse("excluded", 0L), c.getOrElse("queued", 0L),
-        c.getOrElse("seeds_finished", 0L))
+        c.getOrElse("seeds_finished", 0L), c.getOrElse("discarded", 0L))
     }.toDS().toDF()
   }
   def hostState: DataFrame = {
@@ -208,6 +208,7 @@ final class CrawlLoop(
       sum(when(isClaimed && $"disposition".isin("FETCHED", "REDIRECT"), 1L)
         .otherwise(0L)).as("fetched"),
       sum(when(isClaimed && $"disposition" === "FAILED", 1L).otherwise(0L)).as("failed"),
+      sum(when(isClaimed && $"disposition" === "DISCARDED", 1L).otherwise(0L)).as("discarded"),
       sum(when(isClaimed && $"disposition" === "SEEN", 1L).otherwise(0L)).as("seen"),
       sum(when(!isClaimed && $"cand_disposition" =!= "PASS", 1L).otherwise(0L)).as("excluded"),
       sum(when(!isClaimed && $"cand_disposition" === "PASS", 1L).otherwise(0L)).as("passed"))
@@ -317,7 +318,8 @@ final class CrawlLoop(
       deduped = m(obsClaimed, "seen") + (m(obsCands, "passed") - queued),
       excluded = m(obsCands, "excluded"),
       queued = queued,
-      seeds_finished = finished)
+      seeds_finished = finished,
+      discarded = m(obsClaimed, "discarded"))
 
     // SAFETY VALVE: compaction normally runs in the BACKGROUND between
     // waves (maybeCompact, the Iceberg rewrite_data_files seam) — a wave
@@ -366,7 +368,8 @@ final class CrawlLoop(
       "claimed" -> counterRow.claimed, "fetched" -> counterRow.fetched,
       "failed" -> counterRow.failed, "deduped" -> counterRow.deduped,
       "excluded" -> counterRow.excluded, "queued" -> counterRow.queued,
-      "seeds_finished" -> counterRow.seeds_finished)
+      "seeds_finished" -> counterRow.seeds_finished,
+      "discarded" -> counterRow.discarded)
 
     // Commit with compaction-aware rebase: if the background compactor
     // landed a (view-preserving) snapshot while this wave was computing,

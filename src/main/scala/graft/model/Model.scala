@@ -26,7 +26,10 @@ final case class FetchMeta(
     content_type: String,
     server: String,
     link_header: String,
-    location: String // 3xx redirect target ("" if none)
+    location: String, // 3xx redirect target ("" if none)
+    // cloudflare mitigation header ("challenge" on challenge pages —
+    // discard/discarder/cloudflare/cloudflare.go:13-18)
+    cf_mitigated: String = ""
 )
 
 /** One frontier row. The reference's per-seed Item tree
@@ -84,5 +87,8 @@ final case class CounterRow(
     deduped: Long,
     excluded: Long,
     queued: Long,
-    seeds_finished: Long
+    seeds_finished: Long,
+    // responses blocked by the discard hook chain (challenge pages,
+    // discard-status, over-length bodies) — archiver.go:136-141
+    discarded: Long = 0L
 )

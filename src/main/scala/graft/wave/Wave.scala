@@ -204,12 +204,39 @@ object Wave {
           .filter(col("page_url") === fetchable("url_canon"))
           .drop("__page_hash")
     val isMiss = $"page_url".isNull // bucketed-mode connection error
+    // ---- discard hook chain (archiver/discard/discard.go:30-38), first
+    //      matching hook wins: cloudflare challenge (403 + cf-mitigated:
+    //      challenge), akamai challenge (403 + Server: AkamaiGHost), then
+    //      the flag-gated status-list and content-length discarders. A
+    //      discarded response is never extracted and the item fails
+    //      terminally (archiver.go:136-141; retries cannot change a static
+    //      corpus response) ----
+    val cfCol = // tolerate corpora written before the cf_mitigated column
+      if (webR.columns.contains("cf_mitigated")) $"cf_mitigated"
+      else lit(null).cast("string")
+    val discardChain = Seq[(Column, String)](
+      ($"status_code" === 403 && cfCol === "challenge", "challenge_cloudflare"),
+      ($"status_code" === 403 && $"server" === "AkamaiGHost", "challenge_akamai")) ++
+      (if (conf.warcDiscardStatus.nonEmpty)
+        Seq(($"status_code".isin(conf.warcDiscardStatus.map(Integer.valueOf): _*),
+          "warc_discard_status": String))
+      else Nil) ++
+      (if (conf.maxContentLengthMiB > 0)
+        Seq((length($"html") > conf.maxContentLengthMiB.toLong * 1024 * 1024,
+          "content_length": String))
+      else Nil)
+    val discardReason = discardChain.foldRight(lit(null).cast("string")) {
+      case ((cond, reason), rest) => when(cond, reason).otherwise(rest)
+    }
     val hits = joined
       .withColumn("status_code",
         when(isMiss, lit(null).cast("int"))
           .otherwise(coalesce($"status_code", lit(200))))
+      .withColumn("discard_reason",
+        when(isMiss, lit(null).cast("string")).otherwise(discardReason))
       .withColumn("disposition",
         when(isMiss, "FAILED")
+          .when($"discard_reason".isNotNull, "DISCARDED")
           .when($"status_code" >= 400, "FAILED")
           .when($"status_code" >= 300, "REDIRECT")
           .otherwise("FETCHED"))
@@ -265,13 +292,14 @@ object Wave {
     val claimedLog = extracted.select(
       $"url_canon", $"host", $"host_bucket", $"seed_id", $"kind", $"depth",
       $"hops", $"redirects", $"css_jump", $"ts", $"url_hash", $"check_kind",
-      $"disposition", $"status_code",
+      $"disposition", $"status_code", $"discard_reason",
       size(filter_links($"links", "outlink")).as("n_outlinks"),
       size(filter_links($"links", "asset")).as("n_assets"))
       .unionByName(seenRows.select(
         $"url_canon", $"host", $"host_bucket", $"seed_id", $"kind", $"depth",
         $"hops", $"redirects", $"css_jump", $"ts", $"url_hash", $"check_kind",
         lit("SEEN").as("disposition"), lit(null).cast("int").as("status_code"),
+        lit(null).cast("string").as("discard_reason"),
         lit(0).as("n_outlinks"), lit(0).as("n_assets")))
 
     // ---- candidate synthesis: extracted links + E16 redirect children ----
@@ -456,8 +484,14 @@ object Wave {
   def nextHostState(spark: SparkSession, conf: ZenoConf, wave: Int,
                     hostState: DataFrame, claimedLog: DataFrame): DataFrame = {
     import spark.implicits._
+    // challenge-page discards feed the same failure-adjustment path as
+    // rate-limit statuses (archiver.go:114-118 calls AdjustOnFailure for
+    // isBadStatusCode OR discarded challenge pages); non-challenge
+    // discards (status-list, content-length) do not.
+    val isChallenge = $"disposition" === "DISCARDED" &&
+      $"discard_reason".startsWith("challenge")
     val perHost = claimedLog.groupBy($"host").agg(
-      sum(when($"disposition" === "FAILED" &&
+      sum(when(($"disposition" === "FAILED" || isChallenge) &&
         $"status_code".isin(429, 403, 408, 425), 1).otherwise(0)).as("rate_fails"),
       sum(when($"disposition" === "FAILED" && $"status_code" >= 500, 1)
         .otherwise(0)).as("server_fails"))

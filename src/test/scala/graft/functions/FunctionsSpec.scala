@@ -144,6 +144,73 @@ class FunctionsSpec extends AnyFunSuite {
       Seq("id", "format", "features"))
   }
 
+  test("cosine near-dup banded LSH: recall ≥0.9 vs brute force, exact precision") {
+    import spark.implicits._
+    val embs = graft.gen.OracleData.embeddingsSeq
+    // brute-force ground truth in plain Scala (160² pairs)
+    val truth = (for {
+      (a, va) <- embs; (b, vb) <- embs
+      if a < b && graft.gen.RefImpl.cosine(va, vb) >= 0.95
+    } yield (a, b)).toSet
+    assert(truth.nonEmpty, "fixture has planted near-dups")
+    val df = embs.toDF("vec_id", "embedding")
+    val got = Similarity.cosineNearDupPairs(df, minCos = 0.95, nBits = 16,
+        dim = graft.gen.OracleData.embDim, nTables = 16)
+      .as[(Long, Long)].collect().toSet
+    val recall = truth.count(got.contains).toDouble / truth.size
+    assert(recall >= 0.9, s"banded LSH recall $recall over ${truth.size} true pairs")
+    // precision is exact by construction: every emitted pair was verified
+    assert(got.subsetOf(truth), "all returned pairs satisfy cos >= minCos")
+  }
+
+  test("banded LSH buckets stay narrow on a skewed fixture") {
+    // 400 diverse vectors + one planted 24-member identical cluster: the
+    // cluster shares buckets (it IS the answer — quadratic in cluster size
+    // is the output size), but diverse vectors must not pile into any
+    // single (table, signature) bucket — the round-3 weakness was 256
+    // GLOBAL buckets, N²/256 verify pairs at scale
+    val dim = 32
+    def v(i: Int): Array[Float] = Array.tabulate(dim)(d =>
+      (graft.gen.RefImpl.xxh64long(i.toLong * 97 + d) % 1000L) / 1000.0f)
+    val diverse = (0 until 400).map(i => (i.toLong, v(i)))
+    val nBits = 16
+    val widths = for (t <- 0 until 8) yield {
+      diverse.groupBy { case (_, vec) =>
+        graft.gen.RefImpl.cosLshBucket(vec, nBits, t * nBits)
+      }.values.map(_.size).max
+    }
+    assert(widths.max <= 32,
+      s"max bucket width ${widths.max} of 400 diverse vectors (16-bit tables)")
+  }
+
+  test("image dims: PNG IHDR, GIF LSD, JPEG SOF behind variable segments") {
+    def be16(v: Int) = Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def be32(v: Int) = Array((v >>> 24).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    val png = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A) ++
+      be32(13) ++ "IHDR".getBytes("US-ASCII") ++ be32(640) ++ be32(480) ++
+      Array[Byte](8, 6, 0, 0, 0)
+    assert(Multimodal.imageDims(png).contains(Multimodal.ImageDims(640, 480)))
+    val gif = "GIF87a".getBytes("US-ASCII") ++
+      Array[Byte](0x20, 0x01, 0xF0.toByte, 0x00) // 288 × 240 little-endian
+    assert(Multimodal.imageDims(gif).contains(Multimodal.ImageDims(288, 240)))
+    // JPEG: two APPn segments + a COM before a PROGRESSIVE SOF2
+    val jpeg = Array[Byte](0xFF.toByte, 0xD8.toByte) ++
+      Array[Byte](0xFF.toByte, 0xE0.toByte) ++ be16(2 + 7) ++ Array.fill(7)(0x00.toByte) ++
+      Array[Byte](0xFF.toByte, 0xE1.toByte) ++ be16(2 + 3) ++ Array.fill(3)(0x11.toByte) ++
+      Array[Byte](0xFF.toByte, 0xFE.toByte) ++ be16(2 + 5) ++ Array.fill(5)(0x63.toByte) ++
+      Array[Byte](0xFF.toByte, 0xC2.toByte) ++ be16(17) ++ Array[Byte](8) ++
+      be16(1080) ++ be16(1920)
+    assert(Multimodal.imageDims(jpeg).contains(Multimodal.ImageDims(1920, 1080)))
+    // corrupt / truncated → None, never throws
+    assert(Multimodal.imageDims(png.take(20)).isEmpty, "truncated IHDR")
+    assert(Multimodal.imageDims(Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte,
+      0xC0.toByte, 0x00, 0x01)).isEmpty, "corrupt JPEG length")
+    assert(Multimodal.imageDims("GIF89a".getBytes("US-ASCII")).isEmpty, "short GIF")
+    assert(Multimodal.imageDims(null).isEmpty)
+    assert(Multimodal.imageDims("plain text here".getBytes("UTF-8")).isEmpty)
+  }
+
   test("fingerprints: shared windows between duplicated docs") {
     import spark.implicits._
     val two = docs.limit(1).select(lit(1L).as("doc_id"), $"text")
