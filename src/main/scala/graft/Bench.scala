@@ -20,6 +20,19 @@ import graft.gen.Corpus
   * a fixed 2-rep 2.4M default exceeded the driver's bench budget and the
   * whole report was lost to a timeout).
   *
+  * Three guards keep that promise on a co-tenant VM whose speed can swing
+  * 2-3× between windows:
+  *   - the corpus-build wall doubles as a live window probe: projections
+  *     are rescaled by measured/model ("slow_factor" in the JSON) and the
+  *     rung is re-picked (smaller corpus rebuilt) if the planned one no
+  *     longer fits this window;
+  *   - every child runs under a hard deadline (remaining budget minus a
+  *     tail reserve) and is force-killed on overrun — a kill is a failed
+  *     sample, never a lost report;
+  *   - the final JSON also prints from a JVM shutdown hook, so even a
+  *     harness SIGTERM mid-child emits the report with the samples
+  *     completed so far.
+  *
   * Prints ONE JSON line. Knobs (env):
   *   SPARK_GRAFT_CPUS          parallelism for part 1 + corpus build (default 32)
   *   SPARK_GRAFT_BENCH_BUDGET  total wall budget in seconds for this main,
@@ -40,6 +53,10 @@ import graft.gen.Corpus
   *   SPARK_GRAFT_BENCH_SEEDSTEP seed every Nth page (default 2)
   *   SPARK_GRAFT_BENCH_CRAWL   "0" to skip the crawl campaign
   *   SPARK_GRAFT_BENCH_QUERIES "0" to skip the per-query bench
+  *   SPARK_GRAFT_SHUFFLE_MULT  crawl-child shuffle partitions = cores×this
+  *                             (default 4; same multiplier at every level)
+  *   SPARK_GRAFT_CONC_WRITERS  crawl-child concurrent partitioned-output
+  *                             writers (default 8; 0 = sort-based writer)
   */
 object Bench {
 
@@ -68,11 +85,21 @@ object Bench {
                                phases: Map[String, Double],
                                util: Map[String, Double] = Map.empty)
 
+  /** Live child process, visible to the shutdown hook so a SIGTERM from
+    * the harness kills the in-flight child before the hook prints the
+    * best-effort JSON.
+    */
+  @volatile private var liveChild: Option[Process] = None
+
   /** One crawl measurement in a FRESH forked JVM (JIT/GC isolation between
-    * parallelism levels).
+    * parallelism levels). `deadlineSecs` is a HARD wall cap: a child that
+    * outlives it (a co-tenant window can inflate multi-core walls 3× over
+    * the model) is killed and reported as a failed sample — the campaign
+    * must reach its final JSON inside the harness budget no matter how
+    * slow the box turns.
     */
   private def crawlRun(cores: Int, corpusDir: String, spec: Corpus.Spec,
-                       waves: Int): CrawlSample = {
+                       waves: Int, deadlineSecs: Double = Double.MaxValue): CrawlSample = {
     val javaBin = System.getProperty("java.home") + "/bin/java"
     val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
       .getInputArguments.toArray.map(_.toString)
@@ -92,8 +119,26 @@ object Bench {
     pb.redirectErrorStream(true)
     val tChild = System.nanoTime()
     val proc = pb.start()
-    val out = new String(proc.getInputStream.readAllBytes(), "UTF-8")
-    proc.waitFor()
+    liveChild = Some(proc)
+    // drain on a daemon thread: a blocking readAllBytes would defeat the
+    // deadline (EOF only arrives when the child exits)
+    val buf = new java.io.ByteArrayOutputStream()
+    val drain = new Thread(() => {
+      try proc.getInputStream.transferTo(buf) catch { case _: Exception => () }
+    }, "bench-child-drain")
+    drain.setDaemon(true)
+    drain.start()
+    val finished = proc.waitFor(
+      math.max(1L, (deadlineSecs * 1000).toLong), java.util.concurrent.TimeUnit.MILLISECONDS)
+    if (!finished) {
+      System.err.println(f"BENCH_DEADLINE cores=$cores killed after $deadlineSecs%.0fs")
+      proc.descendants().forEach(h => { h.destroyForcibly(); () })
+      proc.destroyForcibly()
+      proc.waitFor(10, java.util.concurrent.TimeUnit.SECONDS)
+    }
+    drain.join(2000)
+    liveChild = None
+    val out = buf.toString("UTF-8")
     val childWall = (System.nanoTime() - tChild) / 1e9
     def kvLine(tag: String): Map[String, Double] =
       out.linesIterator.find(_.startsWith(tag)).map { line =>
@@ -141,18 +186,20 @@ object Bench {
   }
 
   /** Measured child-wall model for the default campaign config (16 KB
-    * bodies, seed step 2, 3 timed waves + quarter warmup), calibrated on
+    * bodies, seed step 2, 3 timed waves + quarter warmup, shuffle
+    * multiplier 4 + concurrent partitioned-output writers), calibrated on
     * this box (round 4; see BENCH/BASELINE.md). Values are TOTAL child
     * wall seconds (JVM + warmup + timed), deliberately ~10% above the
     * calibration measurements so a projection error truncates reps instead
-    * of overrunning the budget. Linear interpolation between rungs.
+    * of overrunning the budget (children are deadline-killed regardless).
+    * Linear interpolation between rungs.
     */
   private val wallModel: Seq[(Long, Map[Int, Double], Double)] = Seq(
     // (pages, level -> child wall secs, corpus build secs)
-    (2400000L, Map(1 -> 1850.0, 2 -> 1000.0, 4 -> 560.0, 8 -> 390.0, 32 -> 400.0), 260.0),
-    (1200000L, Map(1 -> 950.0, 2 -> 520.0, 4 -> 300.0, 8 -> 215.0, 32 -> 220.0), 140.0),
-    (600000L, Map(1 -> 490.0, 2 -> 275.0, 4 -> 165.0, 8 -> 125.0, 32 -> 130.0), 80.0),
-    (300000L, Map(1 -> 260.0, 2 -> 150.0, 4 -> 95.0, 8 -> 75.0, 32 -> 80.0), 55.0))
+    (2400000L, Map(1 -> 2200.0, 2 -> 1150.0, 4 -> 600.0, 8 -> 420.0, 32 -> 420.0), 280.0),
+    (1200000L, Map(1 -> 1150.0, 2 -> 620.0, 4 -> 330.0, 8 -> 240.0, 32 -> 240.0), 150.0),
+    (600000L, Map(1 -> 580.0, 2 -> 320.0, 4 -> 180.0, 8 -> 135.0, 32 -> 140.0), 85.0),
+    (300000L, Map(1 -> 300.0, 2 -> 170.0, 4 -> 105.0, 8 -> 80.0, 32 -> 85.0), 60.0))
 
   private def projWall(pages: Long, level: Int): Double = {
     val sorted = wallModel.sortBy(_._1)
@@ -204,41 +251,137 @@ object Bench {
           try fn(spark, sfDir).count()
           catch { case _: Throwable => () }
         }
-        results(name) = (System.nanoTime() - t0) / 1e9
+        results.synchronized { results(name) = (System.nanoTime() - t0) / 1e9 }
       }
       spark.stop()
     }
 
     // ---- part 2: crawl scaling protocol (BASELINE.md), budget-aware ----
-    var crawlJson = ""
+    // All campaign state lives where emitJson can see it: the final JSON
+    // line is printed exactly once — by the normal path, or by a JVM
+    // shutdown hook if the harness SIGTERMs the bench mid-child — so the
+    // hard signal survives a kill with whatever samples completed.
+    val levels = sys.env.getOrElse("SPARK_GRAFT_BENCH_LEVELS", "1,4")
+      .split(",").map(_.trim.toInt).filter(c => c >= 1 && c <= cpus).toSeq
+    val bonus = sys.env.getOrElse("SPARK_GRAFT_BENCH_BONUS", "8")
+    val samples = scala.collection.mutable.ArrayBuffer.empty[(Int, CrawlSample)]
+    @volatile var benchPages = 0L
+    @volatile var crawlError = "" // non-empty => campaign-level failure note
+    @volatile var slowFactor = 1.0
+    val waves = 3
+
+    def assembleCrawlJson(): String = {
+      if (!doCrawl) return ""
+      if (crawlError.nonEmpty) return s""","crawl":{"error":"$crawlError"}"""
+      val snap = samples.synchronized { samples.toList }
+      if (snap.isEmpty) return ""","crawl":{"error":"no samples completed"}"""
+      def best(cores: Int): CrawlSample =
+        snap.collect { case (c, r) if c == cores => r }.minBy(_.secs)
+      def tp(cores: Int): Double = { val b = best(cores); b.work / b.secs }
+      def eff(lo: Int, hi: Int): Double = (tp(hi) / tp(lo)) / (hi.toDouble / lo)
+      def has(c: Int): Boolean = snap.exists(_._1 == c)
+      val reported = (levels ++ bonus.toIntOption.filter(c =>
+        has(c) && !levels.contains(c))).distinct
+      val levelJson = reported.filter(has).map { c =>
+        val b = best(c)
+        val phases = b.phases.toSeq.sortBy(_._1)
+          .map { case (k, v) => f""""$k":$v%.2f""" }.mkString("{", ",", "}")
+        val util = b.util.toSeq.sortBy(_._1)
+          .map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+        val all = snap.collect { case (`c`, r) => f"${r.secs}%.1f" }
+          .mkString("[", ",", "]")
+        f""""$c":{"best_secs":${b.secs}%.1f,"urls_per_sec":${b.work / b.secs}%.1f,""" +
+          f""""samples_secs":$all,"phases":$phases,"task_time":$util}"""
+      }.mkString("{", ",", "}")
+      // every adjacent-4× pair present in the level set is an N→4N
+      // efficiency measurement
+      val pairs = levels.filter(c => levels.contains(c * 4) && has(c) && has(c * 4))
+      val effJson = pairs
+        .map(c => f""""${c}_to_${c * 4}":${eff(c, c * 4)}%.3f""")
+        .mkString("{", ",", "}")
+      val lowCores = levels.find(c => levels.contains(c * 4)).getOrElse(levels.head)
+      val hiCores = if (levels.contains(lowCores * 4)) lowCores * 4 else levels.last
+      val nReps = levels.map(c => snap.count(_._1 == c)).min
+      val pairJson =
+        if (has(lowCores) && has(hiCores) && lowCores != hiCores)
+          f""""cores_hi":$hiCores,"cores_lo":$lowCores,""" +
+            f""""urls_per_sec_hi":${tp(hiCores)}%.1f,"urls_per_sec_lo":${tp(lowCores)}%.1f,""" +
+            f""""work_hi":${best(hiCores).work},"secs_hi":${best(hiCores).secs}%.1f,""" +
+            f""""secs_lo":${best(lowCores).secs}%.1f,""" +
+            f""""scaling_efficiency":${eff(lowCores, hiCores)}%.3f,"""
+        else """"pair":"incomplete","""
+      f""","crawl":{"pages":$benchPages,"waves":$waves,"reps":$nReps,""" +
+        f""""budget_secs":$budget%.0f,"slow_factor":$slowFactor%.2f,""" +
+        pairJson +
+        f""""efficiencies":$effJson,""" +
+        f""""levels":$levelJson}"""
+    }
+
+    val printed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def emitJson(): Unit = if (printed.compareAndSet(false, true)) {
+      val (qs, total) = results.synchronized {
+        (results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+          .mkString("{", ",", "}"), results.values.sum)
+      }
+      val crawl = try assembleCrawlJson() catch {
+        case e: Exception => s""","crawl":{"error":"assembly: ${e.getClass.getSimpleName}"}"""
+      }
+      println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$crawl}""")
+      System.out.flush()
+    }
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      liveChild.foreach { p =>
+        p.descendants().forEach(h => { h.destroyForcibly(); () })
+        p.destroyForcibly()
+      }
+      emitJson()
+    }, "bench-emit-on-term"))
+
     if (doCrawl) {
-      val levels = sys.env.getOrElse("SPARK_GRAFT_BENCH_LEVELS", "1,4")
-        .split(",").map(_.trim.toInt).filter(c => c >= 1 && c <= cpus).toSeq
       val maxReps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
       val safety = 0.93 // projections must underfill the budget slightly
+      val reserve = 45.0 // tail room for JSON assembly + temp cleanup
+      def remaining: Double = budget - elapsed - reserve
 
       // size selection: largest rung whose build + ONE sample per level
       // fits what's left of the budget (reps are opportunistic extras,
       // cut before size is); explicit SPARK_GRAFT_BENCH_PAGES overrides
       def pairCost(pages: Long): Double =
-        projBuild(pages) + levels.map(l => projWall(pages, l)).sum
-      val benchPages: Long =
-        if (pagesEnv > 0) pagesEnv
-        else wallModel.map(_._1).sortBy(-_.toLong)
-          .find(p => pairCost(p) <= (budget - elapsed) * safety)
-          .getOrElse(wallModel.map(_._1).min)
+        (projBuild(pages) + levels.map(l => projWall(pages, l)).sum) * slowFactor
+      def pickPages(): Long = wallModel.map(_._1).sortBy(-_.toLong)
+        .find(p => pairCost(p) <= remaining * safety)
+        .getOrElse(wallModel.map(_._1).min)
+      benchPages = if (pagesEnv > 0) pagesEnv else pickPages()
       System.err.println(f"BENCH_PLAN pages=$benchPages budget=$budget%.0f " +
         f"elapsed=$elapsed%.1f projected_pair=${pairCost(benchPages)}%.1f")
 
-      val spec = Corpus.Spec(nPages = benchPages,
-        nHosts = math.max(64, (benchPages / 50).toInt),
+      def specFor(pages: Long) = Corpus.Spec(nPages = pages,
+        nHosts = math.max(64, (pages / 50).toInt),
         bodyBytes = sys.env.getOrElse("SPARK_GRAFT_BENCH_BODY", "16000").toInt)
+      var spec = specFor(benchPages)
       val corpusDir = java.nio.file.Files.createTempDirectory("bench-corpus").toString
-      val waves = 3
 
       // corpus-build-only pass (untimed, waves=0) at full parallelism
-      val buildSample = crawlRun(cpus, corpusDir, spec, 0)
+      var buildSample = crawlRun(cpus, corpusDir, spec, 0, remaining)
       System.err.println(f"BENCH_BUILD pages=$benchPages wall=${buildSample.childWall}%.1f")
+      // the measured build wall doubles as a live window probe: a co-tenant
+      // window can run this VM 2-3× slower than the calibrated model, and
+      // multi-core children inflate MORE than single-core ones (shared
+      // memory bus). Rescale the projections by the observed slowdown and
+      // re-pick the rung — a mis-sized campaign would blow through the
+      // harness kill and lose the JSON entirely (the round-3 failure mode).
+      slowFactor = math.max(1.0, buildSample.childWall / projBuild(benchPages))
+      if (pagesEnv == 0 && slowFactor > 1.25 && pickPages() < benchPages) {
+        val drop = pickPages()
+        System.err.println(f"BENCH_RESCALE slow_factor=$slowFactor%.2f " +
+          f"pages=$benchPages -> $drop (window too slow for planned rung)")
+        benchPages = drop
+        spec = specFor(drop)
+        graft.tools.FsUtil.deleteRecursively(corpusDir)
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(corpusDir))
+        buildSample = crawlRun(cpus, corpusDir, spec, 0, remaining)
+        System.err.println(f"BENCH_BUILD pages=$benchPages wall=${buildSample.childWall}%.1f")
+      }
       val corpusOk = java.nio.file.Files.exists(
         java.nio.file.Paths.get(s"$corpusDir/web_bucketspec.json"))
 
@@ -246,7 +389,7 @@ object Bench {
         // a failed corpus build must not silently hand the 1-core child a
         // single-threaded rebuild — abort the campaign, keep the JSON line
         System.err.println("BENCH_ERROR corpus build failed; campaign skipped")
-        crawlJson = ""","crawl":{"error":"corpus build failed"}"""
+        crawlError = "corpus build failed"
       } else {
         // best-of-N per level with the levels INTERLEAVED (lo,hi,lo,hi,…):
         // this box is a VM with sustained multi-minute CPU-steal windows, so
@@ -254,13 +397,24 @@ object Bench {
         // window poison that level's best; interleaving decorrelates, and
         // min wall-clock per level is the steal-free estimate.
         // Before each child: project its wall from the walls ACTUALLY
-        // measured this campaign (fallback: the static model) and skip the
-        // child if it would overrun the budget — every completed sample
-        // still reaches the final JSON (and stderr, for a killed campaign).
-        val samples = scala.collection.mutable.ArrayBuffer.empty[(Int, CrawlSample)]
+        // measured this campaign (fallback: the slowdown-scaled model) and
+        // skip the child if it would overrun the budget. Every child runs
+        // under a hard deadline (= remaining budget): a kill surfaces as a
+        // failed sample, never as a lost report.
         def measuredWall(c: Int): Double = {
           val ws = samples.collect { case (`c`, r) => r.childWall }
-          if (ws.isEmpty) projWall(benchPages, c) else ws.max * 1.05
+          if (ws.isEmpty) projWall(benchPages, c) * slowFactor else ws.max * 1.05
+        }
+        def runSample(c: Int, tag: String, rep: Int): Unit = {
+          val r = crawlRun(c, corpusDir, spec, waves, remaining)
+          if (r.work > 0 && r.secs > 0) {
+            samples.synchronized { samples += c -> r }
+            System.err.println(
+              f"$tag rep=$rep cores=$c work=${r.work} secs=${r.secs}%.1f " +
+                f"child_wall=${r.childWall}%.1f urls_per_sec=${r.work / r.secs}%.1f " +
+                f"elapsed=$elapsed%.1f")
+          } else System.err.println(
+            f"$tag rep=$rep cores=$c FAILED child_wall=${r.childWall}%.1f elapsed=$elapsed%.1f")
         }
         var rep = 1
         var continue = true
@@ -268,17 +422,17 @@ object Bench {
           var ranAny = false
           levels.foreach { c =>
             val nHave = samples.count(_._1 == c)
-            val fits = elapsed + measuredWall(c) <= budget * safety
-            // rep 1 always runs (a pair was budgeted in size selection);
-            // later reps only if the projection fits
-            if (nHave < rep && (rep == 1 || fits)) {
-              val r = crawlRun(c, corpusDir, spec, waves)
-              samples += c -> r
+            // `remaining` already carries the tail reserve and every child
+            // is deadline-killed at the budget edge, so the fits-check can
+            // spend the true residue instead of stacking a second safety
+            // margin on top (which silently wasted ~400 s of clean-window
+            // budget that a 4-core rep could have used)
+            val fits = measuredWall(c) <= remaining
+            // rep 1 runs whenever meaningful time remains (its deadline
+            // caps the damage); later reps only if the projection fits
+            if (nHave < rep && ((rep == 1 && remaining > 120) || (rep > 1 && fits))) {
+              runSample(c, "BENCH_PROGRESS", rep)
               ranAny = true
-              System.err.println(
-                f"BENCH_PROGRESS rep=$rep cores=$c work=${r.work} secs=${r.secs}%.1f " +
-                  f"child_wall=${r.childWall}%.1f urls_per_sec=${r.work / r.secs}%.1f " +
-                  f"elapsed=$elapsed%.1f")
             }
           }
           if (!ranAny) continue = false
@@ -288,64 +442,17 @@ object Bench {
         // opportunistic high-thread absolute point (regressions in the
         // bus-bound regime stay visible when budget allows; never funded
         // at the expense of the N→4N rep loop above)
-        val bonus = sys.env.getOrElse("SPARK_GRAFT_BENCH_BONUS", "8")
         bonus.toIntOption.filter(c => c > 1 && c <= cpus && !levels.contains(c))
           .foreach { c =>
-            if (elapsed + projWall(benchPages, c) <= budget * safety) {
-              val r = crawlRun(c, corpusDir, spec, waves)
-              samples += c -> r
-              System.err.println(
-                f"BENCH_BONUS cores=$c work=${r.work} secs=${r.secs}%.1f " +
-                  f"urls_per_sec=${r.work / r.secs}%.1f elapsed=$elapsed%.1f")
-            }
+            if (projWall(benchPages, c) * slowFactor <= remaining)
+              runSample(c, "BENCH_BONUS", 0)
           }
-        val reported = (levels ++ bonus.toIntOption.filter(c =>
-          samples.exists(_._1 == c) && !levels.contains(c))).distinct
-
-        def best(cores: Int): CrawlSample =
-          samples.collect { case (c, r) if c == cores => r }.minBy(_.secs)
-        def tp(cores: Int): Double = { val b = best(cores); b.work / b.secs }
-        def eff(lo: Int, hi: Int): Double = (tp(hi) / tp(lo)) / (hi.toDouble / lo)
-        val lowCores = levels.find(c => levels.contains(c * 4)).getOrElse(levels.head)
-        val hiCores = if (levels.contains(lowCores * 4)) lowCores * 4 else levels.last
-        val levelJson = reported.filter(c => samples.exists(_._1 == c)).map { c =>
-          val b = best(c)
-          val phases = b.phases.toSeq.sortBy(_._1)
-            .map { case (k, v) => f""""$k":$v%.2f""" }.mkString("{", ",", "}")
-          val util = b.util.toSeq.sortBy(_._1)
-            .map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
-          val all = samples.collect { case (`c`, r) => f"${r.secs}%.1f" }
-            .mkString("[", ",", "]")
-          f""""$c":{"best_secs":${b.secs}%.1f,"urls_per_sec":${b.work / b.secs}%.1f,""" +
-            f""""samples_secs":$all,"phases":$phases,"task_time":$util}"""
-        }.mkString("{", ",", "}")
-        // every adjacent-4× pair present in the level set is an N→4N
-        // efficiency measurement
-        val pairs = levels.filter(c => levels.contains(c * 4) &&
-          samples.exists(_._1 == c) && samples.exists(_._1 == c * 4))
-        val effJson = pairs
-          .map(c => f""""${c}_to_${c * 4}":${eff(c, c * 4)}%.3f""")
-          .mkString("{", ",", "}")
-        val nReps = levels.map(c => samples.count(_._1 == c)).min
-        crawlJson =
-          f""","crawl":{"pages":$benchPages,"waves":$waves,"reps":$nReps,""" +
-            f""""budget_secs":$budget%.0f,""" +
-            f""""cores_hi":$hiCores,"cores_lo":$lowCores,""" +
-            f""""urls_per_sec_hi":${tp(hiCores)}%.1f,"urls_per_sec_lo":${tp(lowCores)}%.1f,""" +
-            f""""work_hi":${best(hiCores).work},"secs_hi":${best(hiCores).secs}%.1f,""" +
-            f""""secs_lo":${best(lowCores).secs}%.1f,""" +
-            f""""scaling_efficiency":${eff(lowCores, hiCores)}%.3f,""" +
-            f""""efficiencies":$effJson,""" +
-            f""""levels":$levelJson}"""
       }
       // the ~GB-sized synthetic corpus has no value past the campaign —
       // repeated bench runs would otherwise accumulate one copy each
       graft.tools.FsUtil.deleteRecursively(corpusDir)
     }
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
-      .mkString("{", ",", "}")
-    val total = results.values.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$crawlJson}""")
+    emitJson()
   }
 }

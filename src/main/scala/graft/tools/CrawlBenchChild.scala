@@ -22,10 +22,21 @@ object CrawlBenchChild {
     val bodyBytes = if (args.length > 5) args(5).toInt else 12000
     val seedStep = if (args.length > 6) args(6).toInt else 4
     val cores = coresS.toInt
+    // shuffle partitions scale with cores ×a fixed multiplier (same at
+    // every level, like a real cluster's partitions ∝ total cores): >1
+    // shrinks each reduce task's resident working set, trading task count
+    // for cache locality under concurrent reducers
+    val shufMult = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_MULT", "4").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(s"zenospark-bench-child-$cores")
-      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.shuffle.partitions", cores * shufMult)
+      // the per-wave delta is ONE partitionBy(row_type) write; the default
+      // sort-based writer re-sorts every task's rows by partition value —
+      // pure memory traffic. 8 concurrent open writers cover the 6
+      // row_type values, skipping the sort entirely.
+      .config("spark.sql.maxConcurrentOutputFileWriters",
+        sys.env.getOrElse("SPARK_GRAFT_CONC_WRITERS", "8"))
       // AQE default OFF for the crawl: the wave DAG already fixes its join
       // strategies (explicit broadcast()/shuffle_hash hints) and handles
       // skew below the exchange (WindowGroupLimit), so adaptive re-planning
