@@ -359,31 +359,54 @@ object Bench {
         nHosts = math.max(64, (pages / 50).toInt),
         bodyBytes = sys.env.getOrElse("SPARK_GRAFT_BENCH_BODY", "16000").toInt)
       var spec = specFor(benchPages)
-      val corpusDir = java.nio.file.Files.createTempDirectory("bench-corpus").toString
 
-      // corpus-build-only pass (untimed, waves=0) at full parallelism
-      var buildSample = crawlRun(cpus, corpusDir, spec, 0, remaining)
-      System.err.println(f"BENCH_BUILD pages=$benchPages wall=${buildSample.childWall}%.1f")
-      // the measured build wall doubles as a live window probe: a co-tenant
-      // window can run this VM 2-3× slower than the calibrated model, and
-      // multi-core children inflate MORE than single-core ones (shared
-      // memory bus). Rescale the projections by the observed slowdown and
-      // re-pick the rung — a mis-sized campaign would blow through the
-      // harness kill and lose the JSON entirely (the round-3 failure mode).
-      slowFactor = math.max(1.0, buildSample.childWall / projBuild(benchPages))
-      if (pagesEnv == 0 && slowFactor > 1.25 && pickPages() < benchPages) {
+      // the corpus is DETERMINISTIC (seeded) per spec, so it is cached on
+      // disk across bench runs keyed by the spec: a cache hit spends the
+      // whole remaining budget on samples instead of a ~300 s rebuild
+      // (rungs are a small fixed set, ≈12 GB ceiling). The OK stamp is
+      // written only after a verified build — a killed build leaves no
+      // stamp and is rebuilt from scratch (Corpus.write overwrites).
+      val cacheRoot = sys.env.getOrElse("SPARK_GRAFT_BENCH_CORPUS_CACHE",
+        "/tmp/zenospark-bench-corpus-cache")
+      def corpusDirFor(s: Corpus.Spec): String =
+        s"$cacheRoot/p${s.nPages}_h${s.nHosts}_b${s.bodyBytes}"
+      def stamped(dir: String): Boolean =
+        java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/CORPUS_OK"))
+      // returns true on success; on a cache MISS the measured build wall
+      // doubles as a live window probe (see below)
+      def ensureCorpus(s: Corpus.Spec): Boolean = {
+        val dir = corpusDirFor(s)
+        if (stamped(dir)) { System.err.println(s"BENCH_BUILD pages=${s.nPages} cached"); return true }
+        graft.tools.FsUtil.deleteRecursively(dir)
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+        val b = crawlRun(cpus, dir, s, 0, remaining)
+        System.err.println(f"BENCH_BUILD pages=${s.nPages} wall=${b.childWall}%.1f")
+        val ok = java.nio.file.Files.exists(
+          java.nio.file.Paths.get(s"$dir/web_bucketspec.json"))
+        if (ok) {
+          java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/CORPUS_OK"),
+            Array.emptyByteArray)
+          // a fresh build is also a window probe: a co-tenant window can
+          // run this VM 2-3× slower than the calibrated model. The 32-core
+          // build is MORE bus-bound than the 1/4-core children, so damp
+          // the ratio by half rather than applying it raw (a raw 2.5×
+          // build ratio was observed alongside only ~1.3× child walls).
+          val ratio = b.childWall / projBuild(s.nPages)
+          slowFactor = math.max(slowFactor, 1.0 + math.max(0.0, ratio - 1.0) * 0.5)
+        }
+        ok
+      }
+
+      var corpusOk = ensureCorpus(spec)
+      if (corpusOk && pagesEnv == 0 && slowFactor > 1.25 && pickPages() < benchPages) {
         val drop = pickPages()
         System.err.println(f"BENCH_RESCALE slow_factor=$slowFactor%.2f " +
           f"pages=$benchPages -> $drop (window too slow for planned rung)")
         benchPages = drop
         spec = specFor(drop)
-        graft.tools.FsUtil.deleteRecursively(corpusDir)
-        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(corpusDir))
-        buildSample = crawlRun(cpus, corpusDir, spec, 0, remaining)
-        System.err.println(f"BENCH_BUILD pages=$benchPages wall=${buildSample.childWall}%.1f")
+        corpusOk = ensureCorpus(spec)
       }
-      val corpusOk = java.nio.file.Files.exists(
-        java.nio.file.Paths.get(s"$corpusDir/web_bucketspec.json"))
+      val corpusDir = corpusDirFor(spec)
 
       if (!corpusOk) {
         // a failed corpus build must not silently hand the 1-core child a
@@ -448,9 +471,10 @@ object Bench {
               runSample(c, "BENCH_BONUS", 0)
           }
       }
-      // the ~GB-sized synthetic corpus has no value past the campaign —
-      // repeated bench runs would otherwise accumulate one copy each
-      graft.tools.FsUtil.deleteRecursively(corpusDir)
+      // the corpus stays on disk: it is the spec-keyed cache that lets the
+      // NEXT bench run (same deterministic spec) skip the build entirely;
+      // the rung set bounds the cache at ≈12 GB. Per-run crawl stores are
+      // deleted by each child itself.
     }
 
     emitJson()

@@ -70,9 +70,10 @@ object CrawlBenchChild {
 
     // in-JVM warmup: one wave on a throwaway store (JIT + page cache; the
     // fetch join streams the FULL corpus scan-side regardless of seed
-    // count, so a quarter-size seed set warms the page cache just as well
-    // while the wave itself costs ~1/4 of a timed one)
-    val warmSeeds = (0L until spec.nPages by (seedStep.toLong * 4)).map { i =>
+    // count, so a 1/warmDiv-size seed set warms the page cache just as
+    // well while the wave itself costs ~1/warmDiv of a timed one)
+    val warmDiv = sys.env.getOrElse("SPARK_GRAFT_WARM_DIV", "8").toLong
+    val warmSeeds = (0L until spec.nPages by (seedStep.toLong * warmDiv)).map { i =>
       val (h, j) = Corpus.locate(i, spec)
       Corpus.pageUrl(h, j)
     }
