@@ -343,22 +343,9 @@ object Bench {
       val reserve = 45.0 // tail room for JSON assembly + temp cleanup
       def remaining: Double = budget - elapsed - reserve
 
-      // size selection: largest rung whose build + ONE sample per level
-      // fits what's left of the budget (reps are opportunistic extras,
-      // cut before size is); explicit SPARK_GRAFT_BENCH_PAGES overrides
-      def pairCost(pages: Long): Double =
-        (projBuild(pages) + levels.map(l => projWall(pages, l)).sum) * slowFactor
-      def pickPages(): Long = wallModel.map(_._1).sortBy(-_.toLong)
-        .find(p => pairCost(p) <= remaining * safety)
-        .getOrElse(wallModel.map(_._1).min)
-      benchPages = if (pagesEnv > 0) pagesEnv else pickPages()
-      System.err.println(f"BENCH_PLAN pages=$benchPages budget=$budget%.0f " +
-        f"elapsed=$elapsed%.1f projected_pair=${pairCost(benchPages)}%.1f")
-
       def specFor(pages: Long) = Corpus.Spec(nPages = pages,
         nHosts = math.max(64, (pages / 50).toInt),
         bodyBytes = sys.env.getOrElse("SPARK_GRAFT_BENCH_BODY", "16000").toInt)
-      var spec = specFor(benchPages)
 
       // the corpus is DETERMINISTIC (seeded) per spec, so it is cached on
       // disk across bench runs keyed by the spec: a cache hit spends the
@@ -372,6 +359,22 @@ object Bench {
         s"$cacheRoot/p${s.nPages}_h${s.nHosts}_b${s.bodyBytes}"
       def stamped(dir: String): Boolean =
         java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/CORPUS_OK"))
+
+      // size selection: largest rung whose build (zero if cached) + ONE
+      // sample per level fits what's left of the budget (reps are
+      // opportunistic extras, cut before size is); explicit
+      // SPARK_GRAFT_BENCH_PAGES overrides
+      def pairCost(pages: Long): Double = {
+        val build = if (stamped(corpusDirFor(specFor(pages)))) 0.0 else projBuild(pages)
+        (build + levels.map(l => projWall(pages, l)).sum) * slowFactor
+      }
+      def pickPages(): Long = wallModel.map(_._1).sortBy(-_.toLong)
+        .find(p => pairCost(p) <= remaining * safety)
+        .getOrElse(wallModel.map(_._1).min)
+      benchPages = if (pagesEnv > 0) pagesEnv else pickPages()
+      System.err.println(f"BENCH_PLAN pages=$benchPages budget=$budget%.0f " +
+        f"elapsed=$elapsed%.1f projected_pair=${pairCost(benchPages)}%.1f")
+      var spec = specFor(benchPages)
       // returns true on success; on a cache MISS the measured build wall
       // doubles as a live window probe (see below)
       def ensureCorpus(s: Corpus.Spec): Boolean = {
