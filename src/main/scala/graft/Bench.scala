@@ -43,8 +43,9 @@ import graft.gen.Corpus
   *   SPARK_GRAFT_BENCH_PAGES   corpus size; 0 = auto-pick largest that fits
   *                             the budget (default 0)
   *   SPARK_GRAFT_BENCH_LEVELS  comma-separated core counts (default "1,4")
-  *   SPARK_GRAFT_BENCH_REPS    max samples per level (default 3; the budget
-  *                             usually cuts earlier)
+  *   SPARK_GRAFT_BENCH_WAVES   timed waves per sample (default 2)
+  *   SPARK_GRAFT_BENCH_REPS    max samples per level (default 4; the budget
+  *                             usually cuts earlier, cheapest level first)
   *   SPARK_GRAFT_BENCH_BONUS   one extra high-thread level sampled ONCE if
   *                             budget remains after the rep loop (default 8;
   *                             "" disables) — keeps the bus-bound regime
@@ -195,11 +196,11 @@ object Bench {
     * Linear interpolation between rungs.
     */
   private val wallModel: Seq[(Long, Map[Int, Double], Double)] = Seq(
-    // (pages, level -> child wall secs, corpus build secs)
-    (2400000L, Map(1 -> 2200.0, 2 -> 1150.0, 4 -> 600.0, 8 -> 420.0, 32 -> 420.0), 280.0),
-    (1200000L, Map(1 -> 1150.0, 2 -> 620.0, 4 -> 330.0, 8 -> 240.0, 32 -> 240.0), 150.0),
-    (600000L, Map(1 -> 580.0, 2 -> 320.0, 4 -> 180.0, 8 -> 135.0, 32 -> 140.0), 85.0),
-    (300000L, Map(1 -> 300.0, 2 -> 170.0, 4 -> 105.0, 8 -> 80.0, 32 -> 85.0), 60.0))
+    // (pages, level -> child wall secs, corpus build secs) — 2 timed waves
+    (2400000L, Map(1 -> 1600.0, 2 -> 860.0, 4 -> 450.0, 8 -> 320.0, 32 -> 320.0), 280.0),
+    (1200000L, Map(1 -> 760.0, 2 -> 460.0, 4 -> 270.0, 8 -> 190.0, 32 -> 190.0), 150.0),
+    (600000L, Map(1 -> 430.0, 2 -> 240.0, 4 -> 140.0, 8 -> 105.0, 32 -> 110.0), 85.0),
+    (300000L, Map(1 -> 220.0, 2 -> 130.0, 4 -> 80.0, 8 -> 65.0, 32 -> 70.0), 60.0))
 
   private def projWall(pages: Long, level: Int): Double = {
     val sorted = wallModel.sortBy(_._1)
@@ -268,7 +269,11 @@ object Bench {
     @volatile var benchPages = 0L
     @volatile var crawlError = "" // non-empty => campaign-level failure note
     @volatile var slowFactor = 1.0
-    val waves = 3
+    // 2 timed waves: same per-wave work at every level (the efficiency
+    // ratio is per-work normalized), ~1/3 cheaper samples than 3 waves —
+    // which roughly doubles the reps a budget can fund, and best-of-reps
+    // is the only defense against this VM's 2-4× co-tenant windows
+    val waves = sys.env.getOrElse("SPARK_GRAFT_BENCH_WAVES", "2").toInt
 
     def assembleCrawlJson(): String = {
       if (!doCrawl) return ""
@@ -338,7 +343,7 @@ object Bench {
     }, "bench-emit-on-term"))
 
     if (doCrawl) {
-      val maxReps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+      val maxReps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "4").toInt
       val safety = 0.93 // projections must underfill the budget slightly
       val reserve = 45.0 // tail room for JSON assembly + temp cleanup
       def remaining: Double = budget - elapsed - reserve
@@ -446,7 +451,13 @@ object Bench {
         var continue = true
         while (continue && rep <= maxReps) {
           var ranAny = false
-          levels.foreach { c =>
+          // cheapest level first within each round: when the budget runs
+          // tight, extra reps flow to the cheap multi-core level — which
+          // is also the one with the most window variance (observed 4-core
+          // spread 3.7× vs 1.4× at 1 core: co-tenant bus pressure hits
+          // concurrent reducers hardest), so best-of-reps converges where
+          // it matters most. In roomy windows both levels still multi-rep.
+          levels.sortBy(measuredWall).foreach { c =>
             val nHave = samples.count(_._1 == c)
             // `remaining` already carries the tail reserve and every child
             // is deadline-killed at the budget edge, so the fits-check can
