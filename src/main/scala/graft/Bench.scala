@@ -295,7 +295,12 @@ object Bench {
           .map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
         val all = snap.collect { case (`c`, r) => f"${r.secs}%.1f" }
           .mkString("[", ",", "]")
+        // best child wall over the calibrated model: >1.2 means even the
+        // best rep ran in a slow co-tenant window (cache hits skip the
+        // build probe, so slow_factor alone can read 1.0 in a slow run)
+        val wom = b.childWall / projWall(benchPages, c)
         f""""$c":{"best_secs":${b.secs}%.1f,"urls_per_sec":${b.work / b.secs}%.1f,""" +
+          f""""wall_over_model":$wom%.2f,""" +
           f""""samples_secs":$all,"phases":$phases,"task_time":$util}"""
       }.mkString("{", ",", "}")
       // every adjacent-4× pair present in the level set is an N→4N
