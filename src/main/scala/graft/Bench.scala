@@ -3,13 +3,24 @@ package graft
 import org.apache.spark.sql.SparkSession
 import graft.gen.Corpus
 
-/** Benchmark main. Two parts:
+/** Benchmark main. Two parts, CAMPAIGN FIRST (the scaling criterion is
+  * the hard signal; the per-query sweep is informative and runs on
+  * whatever budget is left):
   *
-  *  1. per-query wall-clock over SPARK_GRAFT_SF_DIR (driver contract)
-  *  2. crawl-throughput protocol (BASELINE.md): the same crawl job on the
+  *  1. crawl-throughput protocol (BASELINE.md): the same crawl job on the
   *     same synthetic corpus at two parallelism levels — local[N] and
   *     local[4N] — reporting URLs scheduled+deduped per second at each and
   *     the scaling efficiency (throughput_4N / throughput_N) / 4.
+  *  2. per-query wall-clock over SPARK_GRAFT_SF_DIR (driver contract),
+  *     budget-guarded per query (skipped queries are counted, never
+  *     silently absent).
+  *
+  * Both parts are WINDOW-NORMALIZED: a pure-JVM probe (serial mix loop =
+  * CPU-steal detector; parallel streaming sum over a shared 768 MB array
+  * = memory-bus detector) runs before each part and its over-model
+  * ratios land in the JSON ("probe" / "queries_probe") — so a slow
+  * co-tenant window self-identifies in the artifact instead of reading
+  * as a regression (this box swings 2-4× between minutes).
   *
   * The campaign is WALL-CLOCK BUDGETED: it picks the largest corpus size
   * whose projected 1-core + 4-core pair fits the remaining budget (reps
@@ -58,6 +69,13 @@ import graft.gen.Corpus
   *                             (default 4; same multiplier at every level)
   *   SPARK_GRAFT_CONC_WRITERS  crawl-child concurrent partitioned-output
   *                             writers (default 8; 0 = sort-based writer)
+  *   SPARK_GRAFT_WARM_DIV      crawl-child warmup seed-set divisor
+  *                             (default 8; the wallModel calibration
+  *                             assumes the default — changing it shifts
+  *                             every projected child wall)
+  *   SPARK_GRAFT_MAX_PART_BYTES crawl-child scan-split size (default 32m,
+  *                             identical at every level; see
+  *                             CrawlBenchChild)
   */
 object Bench {
 
@@ -186,6 +204,68 @@ object Bench {
       }))
   }
 
+  /** Pure-JVM window probe, no Spark: (serialSecs, parallelSecs).
+    * Deterministic fixed work — serial = 4×10^8 splitmix rounds (CPU
+    * steal shows up directly); parallel = `threads` threads each
+    * streaming-summing its slice of a shared 768 MB long array ×16
+    * passes (the shared memory bus is what co-tenant windows actually
+    * take away; round-3/4 task-time accounting showed 2-4× run-time
+    * inflation on identical work). ~3 s total in a clean window.
+    */
+  def windowProbe(threads: Int): (Double, Double) = {
+    def mixLoop(iters: Long): Long = {
+      var x = 0x9e3779b97f4a7c15L
+      var i = 0L
+      while (i < iters) {
+        x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+        i += 1
+      }
+      x
+    }
+    val sink = new java.util.concurrent.atomic.AtomicLong
+    sink.addAndGet(mixLoop(20000000L)) // JIT warmup, untimed
+    val t0 = System.nanoTime()
+    sink.addAndGet(mixLoop(400000000L))
+    val ser = (System.nanoTime() - t0) / 1e9
+    val n = 96 << 20 // 96M longs = 768 MB, far past any cache
+    val arr = new Array[Long](n)
+    java.util.Arrays.fill(arr, 0x0123456789abcdefL)
+    val per = n / threads
+    def sweep(passes: Int): Unit = {
+      val ts = (0 until threads).map { t =>
+        new Thread(() => {
+          var s = 0L
+          val end = if (t == threads - 1) n else (t + 1) * per
+          var pass = 0
+          while (pass < passes) {
+            var k = t * per
+            while (k < end) { s += arr(k); k += 1 }
+            pass += 1
+          }
+          sink.addAndGet(s)
+          ()
+        }, s"bench-probe-$t")
+      }
+      ts.foreach(_.start())
+      ts.foreach(_.join())
+    }
+    sweep(2) // warmup pass (thread spin-up + JIT), untimed
+    val t1 = System.nanoTime()
+    sweep(64)
+    val par = (System.nanoTime() - t1) / 1e9
+    if (sink.get == 42L) System.err.println("") // keep the loops live
+    (ser, par)
+  }
+
+  /** Clean-window probe calibration on this box (round 5, ProbeMain over
+    * idle minutes): serial ≈ 0.65 s, parallel ≈ 0.32-0.41 s at 32
+    * threads / 64 passes. Over-model ratios ≳1.4 mean a slow co-tenant
+    * window (the parallel leg has a ±20% noise band of its own — the
+    * half-damping below keeps that from moving the rung pick).
+    */
+  val ProbeSerModel = 0.65
+  val ProbeParModel = 0.38
+
   /** Measured child-wall model for the default campaign config (16 KB
     * bodies, seed step 2, 3 timed waves + quarter warmup, shuffle
     * multiplier 4 + concurrent partitioned-output writers), calibrated on
@@ -240,24 +320,23 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val pagesEnv = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAGES", "0").toLong
     val doCrawl = sys.env.getOrElse("SPARK_GRAFT_BENCH_CRAWL", "1") != "0"
+    val doQueries = sys.env.getOrElse("SPARK_GRAFT_BENCH_QUERIES", "1") != "0"
 
-    // ---- part 1: driver-contract query bench ----
+    // ---- window probe (before the campaign: seeds the rung pick) ----
+    val (probeSer, probePar) = windowProbe(cpus)
+    val probeFactor = math.max(probeSer / ProbeSerModel, probePar / ProbeParModel)
+    System.err.println(f"BENCH_PROBE serial=$probeSer%.2f parallel=$probePar%.2f " +
+      f"factor=$probeFactor%.2f")
+    def probeJson(ser: Double, par: Double): String =
+      f"""{"serial_secs":$ser%.2f,"parallel_secs":$par%.2f,""" +
+        f""""serial_over_model":${ser / ProbeSerModel}%.2f,""" +
+        f""""parallel_over_model":${par / ProbeParModel}%.2f}"""
+
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
-    if (sys.env.getOrElse("SPARK_GRAFT_BENCH_QUERIES", "1") != "0") {
-      val spark = newSession(cpus)
-      (SparkEntry.queries ++ benchOnlyQueries).toSeq.sortBy(_._1).foreach { case (name, fn) =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-        catch { case _: Throwable =>
-          try fn(spark, sfDir).count()
-          catch { case _: Throwable => () }
-        }
-        results.synchronized { results(name) = (System.nanoTime() - t0) / 1e9 }
-      }
-      spark.stop()
-    }
+    @volatile var queriesSkipped = -1 // -1 = sweep never started
+    @volatile var queriesProbe = "" // probe re-run before the sweep
 
-    // ---- part 2: crawl scaling protocol (BASELINE.md), budget-aware ----
+    // ---- part 1: crawl scaling protocol (BASELINE.md), budget-aware ----
     // All campaign state lives where emitJson can see it: the final JSON
     // line is printed exactly once — by the normal path, or by a JVM
     // shutdown hook if the harness SIGTERMs the bench mid-child — so the
@@ -268,7 +347,11 @@ object Bench {
     val samples = scala.collection.mutable.ArrayBuffer.empty[(Int, CrawlSample)]
     @volatile var benchPages = 0L
     @volatile var crawlError = "" // non-empty => campaign-level failure note
-    @volatile var slowFactor = 1.0
+    // seeded from the window probe (damped by half like the build probe:
+    // the 32-thread probe is more bus-bound than a 1/4-core child), so a
+    // cache-hit campaign — which never runs the build probe — still
+    // re-picks its rung when launched into a slow window
+    @volatile var slowFactor = 1.0 + math.max(0.0, probeFactor - 1.0) * 0.5
     // 2 timed waves: same per-wave work at every level (the efficiency
     // ratio is per-work normalized), ~1/3 cheaper samples than 3 waves —
     // which roughly doubles the reps a budget can fund, and best-of-reps
@@ -336,7 +419,10 @@ object Bench {
       val crawl = try assembleCrawlJson() catch {
         case e: Exception => s""","crawl":{"error":"assembly: ${e.getClass.getSimpleName}"}"""
       }
-      println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$crawl}""")
+      val skipped = if (queriesSkipped >= 0) s""","queries_skipped":$queriesSkipped""" else ""
+      val qProbe = if (queriesProbe.nonEmpty) s""","queries_probe":$queriesProbe""" else ""
+      println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$skipped,""" +
+        s""""probe":${probeJson(probeSer, probePar)}$qProbe,"sf":"$sfDir"$crawl}""")
       System.out.flush()
     }
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
@@ -419,7 +505,7 @@ object Bench {
         spec = specFor(drop)
         corpusOk = ensureCorpus(spec)
       }
-      val corpusDir = corpusDirFor(spec)
+      var corpusDir = corpusDirFor(spec)
 
       if (!corpusOk) {
         // a failed corpus build must not silently hand the 1-core child a
@@ -439,7 +525,19 @@ object Bench {
         // failed sample, never as a lost report.
         def measuredWall(c: Int): Double = {
           val ws = samples.collect { case (`c`, r) => r.childWall }
-          if (ws.isEmpty) projWall(benchPages, c) * slowFactor else ws.max * 1.05
+          if (ws.nonEmpty) ws.max * 1.05
+          else {
+            // no samples at this level yet: scale the model by the window
+            // actually observed on the levels that HAVE run (the best
+            // live estimate — a slow window seen by the cheap 4-core
+            // child predicts the 1-core child's inflation far better
+            // than the start-of-campaign probe)
+            val observed = samples.groupBy(_._1).map { case (c2, ss) =>
+              ss.map(_._2.childWall).min / projWall(benchPages, c2)
+            }
+            val window = if (observed.nonEmpty) observed.max else slowFactor
+            projWall(benchPages, c) * window
+          }
         }
         def runSample(c: Int, tag: String, rep: Int): Unit = {
           val r = crawlRun(c, corpusDir, spec, waves, remaining)
@@ -452,33 +550,68 @@ object Bench {
           } else System.err.println(
             f"$tag rep=$rep cores=$c FAILED child_wall=${r.childWall}%.1f elapsed=$elapsed%.1f")
         }
-        var rep = 1
-        var continue = true
-        while (continue && rep <= maxReps) {
-          var ranAny = false
-          // cheapest level first within each round: when the budget runs
-          // tight, extra reps flow to the cheap multi-core level — which
-          // is also the one with the most window variance (observed 4-core
-          // spread 3.7× vs 1.4× at 1 core: co-tenant bus pressure hits
-          // concurrent reducers hardest), so best-of-reps converges where
-          // it matters most. In roomy windows both levels still multi-rep.
-          levels.sortBy(measuredWall).foreach { c =>
-            val nHave = samples.count(_._1 == c)
-            // `remaining` already carries the tail reserve and every child
-            // is deadline-killed at the budget edge, so the fits-check can
-            // spend the true residue instead of stacking a second safety
-            // margin on top (which silently wasted ~400 s of clean-window
-            // budget that a 4-core rep could have used)
-            val fits = measuredWall(c) <= remaining
-            // rep 1 runs whenever meaningful time remains (its deadline
-            // caps the damage); later reps only if the projection fits
-            if (nHave < rep && ((rep == 1 && remaining > 120) || (rep > 1 && fits))) {
-              runSample(c, "BENCH_PROGRESS", rep)
-              ranAny = true
+        var sampling = true
+        while (sampling) {
+          var rep = 1
+          var continue = true
+          while (continue && rep <= maxReps) {
+            var ranAny = false
+            // cheapest level first within each round: when the budget runs
+            // tight, extra reps flow to the cheap multi-core level — which
+            // is also the one with the most window variance (observed 4-core
+            // spread 3.7× vs 1.4× at 1 core: co-tenant bus pressure hits
+            // concurrent reducers hardest), so best-of-reps converges where
+            // it matters most. In roomy windows both levels still multi-rep.
+            levels.sortBy(measuredWall).foreach { c =>
+              val nHave = samples.count(_._1 == c)
+              // `remaining` already carries the tail reserve and every child
+              // is deadline-killed at the budget edge, so the fits-check can
+              // spend the true residue instead of stacking a second safety
+              // margin on top (which silently wasted ~400 s of clean-window
+              // budget that a 4-core rep could have used)
+              val fits = measuredWall(c) <= remaining
+              // rep 1 runs whenever meaningful time remains AND the
+              // window-informed projection is not hopeless (launching a
+              // child projected 2× over budget burns the whole residue on
+              // a guaranteed deadline-kill — the rung-drop below spends it
+              // on a completable pair instead); later reps only if the
+              // projection fits outright
+              val plausible = measuredWall(c) <= remaining * 1.15
+              if (nHave < rep &&
+                  ((rep == 1 && remaining > 120 && plausible) || (rep > 1 && fits))) {
+                runSample(c, "BENCH_PROGRESS", rep)
+                ranAny = true
+              }
             }
+            if (!ranAny) continue = false
+            rep += 1
           }
-          if (!ranAny) continue = false
-          rep += 1
+          // pair incomplete at this rung (a level never landed a sample —
+          // skipped as hopeless, or deadline-killed by a slow window):
+          // drop to the largest rung the remaining budget can complete and
+          // resample. Samples from the old rung are different work and are
+          // voided; an efficiency number only ever compares identical work.
+          val unsampled = levels.filterNot(c => samples.exists(_._1 == c))
+          if (unsampled.nonEmpty && pagesEnv == 0 && remaining > 120) {
+            samples.synchronized {
+              if (samples.nonEmpty) {
+                val observed = samples.groupBy(_._1).map { case (c2, ss) =>
+                  ss.map(_._2.childWall).min / projWall(benchPages, c2) }
+                slowFactor = math.max(slowFactor, observed.max)
+              }
+              samples.clear()
+            }
+            val drop = pickPages()
+            if (drop < benchPages) {
+              System.err.println(f"BENCH_RUNG_DROP pages=$benchPages -> $drop " +
+                f"slow_factor=$slowFactor%.2f remaining=$remaining%.0f")
+              benchPages = drop
+              spec = specFor(drop)
+              corpusOk = ensureCorpus(spec)
+              corpusDir = corpusDirFor(spec)
+              if (!corpusOk) { crawlError = "corpus build failed"; sampling = false }
+            } else sampling = false // no smaller rung fits either — stop
+          } else sampling = false
         }
 
         // opportunistic high-thread absolute point (regressions in the
@@ -494,6 +627,40 @@ object Bench {
       // NEXT bench run (same deterministic spec) skip the build entirely;
       // the rung set bounds the cache at ≈12 GB. Per-run crawl stores are
       // deleted by each child itself.
+    }
+
+    // ---- part 2: per-query sweep on the remaining budget. Re-probe the
+    //      window first so a slow sweep self-identifies in the JSON (the
+    //      r04 artifact recorded a 30× text_quality with no way to tell
+    //      window from regression). Queries that no longer fit are
+    //      skipped and counted — the campaign above is the criterion, the
+    //      sweep is informative. ----
+    if (doQueries) {
+      val (ser2, par2) = windowProbe(cpus)
+      queriesProbe = probeJson(ser2, par2)
+      System.err.println(f"BENCH_QUERIES_PROBE serial=$ser2%.2f parallel=$par2%.2f " +
+        f"elapsed=$elapsed%.1f")
+      val spark = newSession(cpus)
+      queriesSkipped = 0
+      val qReserve = 20.0
+      def qRemaining: Double = budget - elapsed - qReserve
+      // measured r02-r04: the crawl fixture + the deliberately-uncapped
+      // jaccard twins run 20-130 s in slow windows; everything else is
+      // seconds
+      val expensive = Set("crawl_2waves", "dedup_ngram_jaccard", "dedup_jaccard_capped")
+      (SparkEntry.queries ++ benchOnlyQueries).toSeq.sortBy(_._1).foreach { case (name, fn) =>
+        val need = if (expensive(name)) 240.0 else 45.0
+        if (qRemaining > need) {
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+          catch { case _: Throwable =>
+            try fn(spark, sfDir).count()
+            catch { case _: Throwable => () }
+          }
+          results.synchronized { results(name) = (System.nanoTime() - t0) / 1e9 }
+        } else queriesSkipped += 1
+      }
+      spark.stop()
     }
 
     emitJson()

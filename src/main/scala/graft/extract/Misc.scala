@@ -60,6 +60,18 @@ object LinkHeader {
 object TextLinks {
   private val minLinkLength = "http://a.b".length
 
+  /** In-place `body.substring(i, j).contains("://")`. */
+  private def containsSchemeSep(body: String, i: Int, j: Int): Boolean = {
+    var k = i
+    val last = j - 3
+    while (k <= last) {
+      if (body.charAt(k) == ':' && body.charAt(k + 1) == '/' &&
+          body.charAt(k + 2) == '/') return true
+      k += 1
+    }
+    false
+  }
+
   def extract(body: String, strict: Boolean = false): Seq[String] = {
     val raw = ArrayBuffer.empty[String]
     var i = 0
@@ -69,12 +81,14 @@ object TextLinks {
       var j = i
       while (j < n && !Character.isWhitespace(body.charAt(j))) j += 1
       if (j > i) {
-        val token = body.substring(i, j)
         if (!strict) {
-          if (token.length >= minLinkLength && token.contains("://"))
-            Util.LinkRegex.findAllIn(token).foreach(raw += _)
+          // allocation guard: a 16 KB body is ~2k tokens and almost none
+          // contain "://" — check in place on the body before paying the
+          // substring + regex (identical results, ~half the scan cost)
+          if (j - i >= minLinkLength && containsSchemeSep(body, i, j))
+            Util.LinkRegex.findAllIn(body.substring(i, j)).foreach(raw += _)
         } else {
-          Util.LinkRegexStrict.findAllIn(token).foreach(raw += _)
+          Util.LinkRegexStrict.findAllIn(body.substring(i, j)).foreach(raw += _)
         }
       }
       i = j

@@ -171,7 +171,8 @@ final class FrontierStore(val workDir: String) {
     */
   def readFrontierAt(spark: SparkSession, dataPaths: Seq[String],
                      deletePaths: Seq[String]): DataFrame = {
-    val base = readTable(spark, dataPaths, FrontierStore.frontierDdl)
+    val base = FrontierStore.decodeFrontier(
+      readTable(spark, dataPaths, FrontierStore.frontierDdl))
     if (deletePaths.isEmpty) base
     else {
       val dels = readTable(spark, deletePaths, FrontierStore.frontierDeleteDdl)
@@ -229,6 +230,32 @@ object FrontierStore {
     "id string, url string, url_canon string, host string, host_bucket int, " +
     "seed_id string, via string, kind string, depth int, hops int, " +
     "redirects int, css_jump int, ts bigint"
+
+  /** Storage encoding for frontier data files (Iceberg-style physical
+    * layout choice; the logical schema is unchanged). Three of the six
+    * URL-string columns are redundant on most rows and are elided at
+    * rest:
+    *   - id      — invariantly == url_canon (UNIQUE key, schema.sql:9);
+    *               never written, re-derived on read
+    *   - url     — null when == url_canon (links that canonicalize to
+    *               themselves, the common case on the open web)
+    *   - seed_id — null when == url_canon (every seed is its own seed)
+    * [[decodeFrontier]] restores the logical view inside readFrontierAt;
+    * encode∘decode is identity (LogCodecSpec). External writers that
+    * write fully-materialized rows stay readable — decode's coalesce is
+    * a no-op on them.
+    */
+  def encodeFrontier(df: DataFrame): DataFrame = df
+    .drop("id")
+    .withColumn("url", when(col("url") === col("url_canon"),
+      lit(null).cast("string")).otherwise(col("url")))
+    .withColumn("seed_id", when(col("seed_id") === col("url_canon"),
+      lit(null).cast("string")).otherwise(col("seed_id")))
+
+  def decodeFrontier(df: DataFrame): DataFrame = df
+    .withColumn("id", coalesce(col("id"), col("url_canon")))
+    .withColumn("url", coalesce(col("url"), col("url_canon")))
+    .withColumn("seed_id", coalesce(col("seed_id"), col("url_canon")))
   val frontierDeleteDdl: String = "url_canon string, del_wave bigint"
   val seedCountDdl: String = "seed_id string, cnt bigint"
   val seenDdl: String = "url_hash bigint, kind string, host_bucket int"

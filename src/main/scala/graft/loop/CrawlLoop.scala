@@ -94,12 +94,13 @@ final class CrawlLoop(
       .dropDuplicates("url_canon")
     val dir = store.newTableDir(0, "frontier")
     val obs = new org.apache.spark.sql.Observation("seed-init")
-    rows.observe(obs, count(lit(1)).as("rows"))
+    FrontierStore.encodeFrontier(rows.observe(obs, count(lit(1)).as("rows")))
       .repartition(col("host_bucket")).write.mode("overwrite").parquet(dir)
     // per-seed live-row count baseline (+1 per seed row) — incrementally
     // maintained by wave deltas so seeds-finished never re-scans the frontier
     val cntDir = store.newTableDir(0, "seedcnt")
-    spark.read.parquet(dir).groupBy($"seed_id").agg(count(lit(1)).as("cnt"))
+    store.readFrontierAt(spark, Seq(dir), Nil)
+      .groupBy($"seed_id").agg(count(lit(1)).as("cnt"))
       .write.mode("overwrite").parquet(cntDir)
     store.commit(0, Seq(dir), Nil, Nil, Nil,
       obs.get.getOrElse("rows", 0L).asInstanceOf[Long],
@@ -200,18 +201,22 @@ final class CrawlLoop(
       "delta" -> store.newTableDir(wave, "delta"))
 
     // phase-1: ONE lineage-log write (claimed + candidate rows unified) —
-    // the cached extraction is traversed once, in a single job
+    // the cached extraction is traversed once, in a single job. Written in
+    // the Wave.encodeLog storage form (redundant URL strings nulled,
+    // disposition as a tiny-int code); decodeLog below restores the
+    // logical schema for phase 2.
     val obsClaimed = new org.apache.spark.sql.Observation(s"log-$wave")
     val isClaimed = $"row_type" === "claimed"
-    timed("log-write") { logs.unified.observe(obsClaimed,
+    val passCode = lit(Wave.CandDisp.passCode)
+    timed("log-write") { Wave.encodeLog(logs.unified).observe(obsClaimed,
       sum(when(isClaimed, 1L).otherwise(0L)).as("claimed"),
       sum(when(isClaimed && $"disposition".isin("FETCHED", "REDIRECT"), 1L)
         .otherwise(0L)).as("fetched"),
       sum(when(isClaimed && $"disposition" === "FAILED", 1L).otherwise(0L)).as("failed"),
       sum(when(isClaimed && $"disposition" === "DISCARDED", 1L).otherwise(0L)).as("discarded"),
       sum(when(isClaimed && $"disposition" === "SEEN", 1L).otherwise(0L)).as("seen"),
-      sum(when(!isClaimed && $"cand_disposition" =!= "PASS", 1L).otherwise(0L)).as("excluded"),
-      sum(when(!isClaimed && $"cand_disposition" === "PASS", 1L).otherwise(0L)).as("passed"))
+      sum(when(!isClaimed && $"cand_disposition" =!= passCode, 1L).otherwise(0L)).as("excluded"),
+      sum(when(!isClaimed && $"cand_disposition" === passCode, 1L).otherwise(0L)).as("passed"))
       .write.mode("overwrite").parquet(dirs("log")) }
     val obsCands = obsClaimed
     logs.cached.foreach(_.unpersist())
@@ -225,7 +230,8 @@ final class CrawlLoop(
     // N→4N scaling efficiency.
     // explicit schema (known from the DataFrame just written) — parquet
     // schema inference re-reads file footers on the driver every wave
-    val waveLog = spark.read.schema(logs.unified.schema).parquet(dirs("log"))
+    val waveLog = Wave.decodeLog(spark.read
+      .schema(Wave.encodedLogSchema(logs.unified.schema)).parquet(dirs("log")))
     val claimedLog = waveLog.filter($"row_type" === "claimed")
     val candLog = waveLog.filter($"row_type" === "cand")
     val fin =
@@ -255,8 +261,12 @@ final class CrawlLoop(
           .write.mode("overwrite").parquet(d)
         Seq(d)
       }
+    // the add subset is stored in the frontier's physical encoding (id
+    // elided, url/seed_id nulled where redundant); seedDelta above reads
+    // the LOGICAL fin.enqueued, so its seed_id grouping is unaffected
     val delta = CrawlLoop.unionBySchema(
-      Seq("add" -> fin.enqueued, "del" -> deletes, "seen" -> fin.seenAppend,
+      Seq("add" -> FrontierStore.encodeFrontier(fin.enqueued), "del" -> deletes,
+        "seen" -> fin.seenAppend,
         "host" -> hostNext, "seedcnt" -> seedDelta) ++ bloomNext.map("bloom" -> _))
 
     val obsEnq = new org.apache.spark.sql.Observation(s"delta-$wave")
@@ -338,7 +348,7 @@ final class CrawlLoop(
           bloomBase ++ sub("bloom"), seedCountBase ++ sub("seedcnt"))
       else timed("valve-compact") {
         val f = store.newTableDir(wave, "frontier-compact")
-        store.readFrontierAt(spark, dataPaths, delPaths)
+        FrontierStore.encodeFrontier(store.readFrontierAt(spark, dataPaths, delPaths))
           .repartition(col("host_bucket"))
           .write.mode("overwrite").parquet(f)
         val se = store.newTableDir(wave, "seen-compact")
@@ -442,7 +452,8 @@ final class CrawlLoop(
   private def compactFrom(s: store.Snapshot): Unit = {
     val w = s.wave
     val fDir = store.newTableDir(w, "bg-frontier-compact")
-    store.readFrontierAt(spark, s.frontier, s.frontierDeletes)
+    FrontierStore.encodeFrontier(
+        store.readFrontierAt(spark, s.frontier, s.frontierDeletes))
       .repartition(col("host_bucket"))
       .write.mode("overwrite").parquet(fDir)
     val seenDir = store.newTableDir(w, "bg-seen-compact")

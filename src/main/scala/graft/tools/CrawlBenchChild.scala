@@ -44,7 +44,14 @@ object CrawlBenchChild {
       // and 8 cores (4 interleaved pairs, round 3)
       .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "false"))
       .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
-      .config("spark.sql.files.maxPartitionBytes", "8m")
+      // identical at every level (like a real cluster's fixed split size).
+      // Larger splits amortize fixed per-task cost (task deser includes a
+      // gzip'd Hadoop-conf decode, ~3% of a 1-core wave at 8m), but an
+      // interleaved 8m-vs-32m pair at 300k/1-core measured 32m ~12% WORSE
+      // (Σ task run 144→166 s on identical work) — per-task run-time
+      // inflation beats the overhead saved, so 8m stands.
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("SPARK_GRAFT_MAX_PART_BYTES", "8m"))
       .config("spark.sql.autoBroadcastJoinThreshold", "64m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

@@ -68,6 +68,76 @@ object Wave {
     }
   }
 
+  /** Storage encoding for the written wave log — the log is by far the
+    * largest per-wave write (every candidate row with full parent
+    * lineage), and three of its URL-string columns are redundant on most
+    * rows. At rest:
+    *   - seed_id       → null when == url_canon (every seed-kind claimed
+    *                     row: a seed is its own seed)
+    *   - parent_seed   → null when == parent_canon (candidate rows whose
+    *                     parent IS a seed — all of wave 1, most of any
+    *                     BFS frontier)
+    *   - raw_link      → null when == href (absolute links that
+    *                     canonicalize to themselves)
+    *   - cand_disposition → tiny-int code (closed 11-value set; a plain
+    *                     int writer beats the per-value binary dictionary
+    *                     probe on tens of millions of rows)
+    * [[decodeLog]] restores the exact logical schema; encode∘decode is
+    * identity (LogCodecSpec).
+    */
+  def encodeLog(unified: DataFrame): DataFrame = {
+    val e = unified
+      .withColumn("seed_id", when(col("seed_id") === col("url_canon"), lit(null)
+        .cast("string")).otherwise(col("seed_id")))
+      .withColumn("parent_seed", when(col("parent_seed") === col("parent_canon"),
+        lit(null).cast("string")).otherwise(col("parent_seed")))
+      .withColumn("raw_link", when(col("raw_link") === col("href"),
+        lit(null).cast("string")).otherwise(col("raw_link")))
+    e.withColumn("cand_disposition", CandDisp.toCode(col("cand_disposition")))
+  }
+
+  /** Inverse of [[encodeLog]] — apply to the log parquet right after
+    * reading; every consumer sees the logical schema.
+    */
+  def decodeLog(df: DataFrame): DataFrame = df
+    .withColumn("seed_id", coalesce(col("seed_id"), col("url_canon")))
+    .withColumn("parent_seed", coalesce(col("parent_seed"), col("parent_canon")))
+    .withColumn("raw_link", coalesce(col("raw_link"), col("href")))
+    .withColumn("cand_disposition", CandDisp.fromCode(col("cand_disposition")))
+
+  /** Read-side schema of the encoded log: as written, cand_disposition is
+    * the tiny-int code column.
+    */
+  def encodedLogSchema(unified: org.apache.spark.sql.types.StructType): org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(unified.fields.map { f =>
+      if (f.name == "cand_disposition")
+        f.copy(dataType = org.apache.spark.sql.types.ByteType)
+      else f
+    })
+
+  /** Closed candidate-disposition vocabulary (F1-F9 + robots outcomes —
+    * Canon.Reject is sealed, so the REJECT_* arm is exhaustive).
+    */
+  object CandDisp {
+    val values: Seq[String] = Seq(
+      "PASS", "EXCLUDED", "EXCLUDED_FP_ASSET", "EXCLUDED_CSS_JUMP",
+      "EXCLUDED_ROBOTS", "REJECT_PARSE_ERROR", "REJECT_UNSUPPORTED_SCHEME",
+      "REJECT_UNSUPPORTED_HOST", "REJECT_TOO_LONG", "REJECT_PATH_LOOP",
+      "REJECT_NO_PARENT")
+    val passCode: Int = 0
+    def toCode(c: Column): Column = values.zipWithIndex
+      .foldLeft(when(c.isNull, lit(null).cast("int"))) { case (acc, (v, i)) =>
+        acc.when(c === v, lit(i))
+      } // a disposition outside the closed set is a bug, not data to drop
+      .otherwise(raise_error(concat(lit("unknown cand_disposition: "), c)).cast("int"))
+      .cast("byte")
+    def fromCode(c: Column): Column = {
+      val m = map(values.zipWithIndex
+        .flatMap { case (v, i) => Seq(lit(i.toByte), lit(v)) }: _*)
+      element_at(m, c.cast("byte"))
+    }
+  }
+
   /** Phase-2 output: rows to enqueue (J1/J2/J3-deduped) + seen appends. */
   final case class FinishResult(
       enqueued: DataFrame, // new frontier rows (append delta, NOT a rewrite)
@@ -150,6 +220,12 @@ object Wave {
     val hashed = claimed
       .withColumn("url_hash", Udfs.fnv64($"url_canon"))
       .withColumn("check_kind", checkKind)
+      // pruned to what the logs + children read: id/url/via ride the
+      // frontier for lineage but are dead weight in the claim cache and
+      // the fetch join's broadcast/shuffle payload
+      .select($"url_canon", $"host", $"host_bucket", $"seed_id", $"kind",
+        $"depth", $"hops", $"redirects", $"css_jump", $"ts", $"url_hash",
+        $"check_kind")
       // claimed is small (hosts × budget) and feeds 3+ branches (broadcast
       // build, miss anti-join, seen check) — cache it once
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -257,14 +333,23 @@ object Wave {
         (lit(domainsEnabled) || $"hops" < conf.maxHops)
 
     // E1-E15 dispatch (charset handled inside, E6); cached so the hit-key
-    // anti-join and the two log writes traverse it once
+    // anti-join and the two log writes traverse it once. The cache is
+    // PRUNED to exactly the columns the downstream consumers (claimedLog,
+    // candidate synthesis, redirect/facebook children, miss recovery)
+    // read: persist() materializes the full projection as columnar
+    // batches, so every surviving column pays dictionary/RLE encode per
+    // row — dropping the consumed-by-extraction inputs (content_type,
+    // server, link_header, page_url, …) here cut measurable per-wave CPU.
     val extractedHits = hits
       .withColumn("do_assets", doAssets)
       .withColumn("do_outlinks", doOutlinks)
       .withColumn("links",
         extractUdf($"url_canon", $"html", $"text", $"content_type", $"server",
           $"link_header", $"do_assets", $"do_outlinks"))
-      .drop("html", "text")
+      .select($"url_canon", $"host", $"host_bucket", $"seed_id", $"kind",
+        $"depth", $"hops", $"redirects", $"css_jump", $"ts", $"url_hash",
+        $"check_kind", $"disposition", $"status_code", $"discard_reason",
+        $"location", $"links")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // broadcast mode only — misses: claimed − hit keys (both sides small;
