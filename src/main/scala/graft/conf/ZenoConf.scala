@@ -49,7 +49,15 @@ final case class ZenoConf(
     maxContentLengthMiB: Int = 0, // 0 = unlimited
     useBloomSeenFilter: Boolean = true,
     bloomExpectedPerShard: Long = 100000L,
-    bloomFpp: Double = 0.01
+    bloomFpp: Double = 0.01,
+    // mega-host skew salting for the claim window (north-star shape:
+    // explicit salted host keys). 0/1 = off (Catalyst's WindowGroupLimit
+    // already bounds a mega-host to ≤ budget rows per MAP partition; the
+    // salt additionally spreads its REDUCE-side top-k over s reducers).
+    // Claimed set is bit-identical on/off: phase 1 takes the per-(host,
+    // salt) top-k, phase 2 re-ranks the ≤ s·k survivors per host — the
+    // global per-host top-k under one total order either way.
+    hostSaltBuckets: Int = 0
 ) {
   def perHostWaveBudget: Int =
     math.min(rateLimitCapacity, rateLimitRefillRate * wavePeriodSeconds).toInt.max(1)

@@ -80,12 +80,17 @@ object BloomShards {
     * baseline for BloomProbeBench (per-row UnsafeRow.getBinary copies the
     * full filter bytes on every probe) — assumes a SINGLE shard row per
     * bucket (it would double-probe rows under layered delta shards), so it
-    * is package-private: the engine hot path is [[maybeSeenKeys]], which
-    * folds layered shards correctly.
+    * is [[maybeSeenKeys]], which folds layered shards correctly — so this
+    * is private[frontier] (only BloomProbeBench may call it) and guards
+    * against layered input outright.
     */
-  private[graft] def flagMaybeSeen(rows: DataFrame, bloom: Option[Ref]): DataFrame = bloom match {
+  private[frontier] def flagMaybeSeen(rows: DataFrame, bloom: Option[Ref]): DataFrame = bloom match {
     case None => rows.withColumn("maybe_seen", lit(true))
     case Some(Ref(key, shards)) =>
+      require(shards.groupBy("host_bucket").count()
+          .filter(col("count") > 1).isEmpty,
+        "flagMaybeSeen assumes one shard per bucket; layered (base+delta) " +
+          "shards would duplicate probe rows — use maybeSeenKeys")
       val probe = udf((bucket: Int, hash: Long, bytes: Array[Byte]) =>
         bytes != null &&
           cachedFilters(key, bucket, Iterator(bytes)).exists(_.mightContainLong(hash)))

@@ -14,11 +14,16 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
-  /** Typed metadata sniffed from magic bytes — the real part. */
+  /** Typed metadata sniffed from magic bytes — the real part. Width and
+    * height are header-only image dimensions ([[imageDims]]); null for
+    * non-images and corrupt/truncated headers.
+    */
   val metaSchema: StructType = StructType(Seq(
     StructField("format", StringType),
     StructField("n_bytes", IntegerType),
-    StructField("magic_hex", StringType)))
+    StructField("magic_hex", StringType),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true)))
 
   def sniffFormat(bytes: Array[Byte]): String = {
     if (bytes == null || bytes.length < 4) "unknown"
@@ -58,19 +63,32 @@ object Multimodal {
       case "gif" =>
         if (b.length >= 10) Some(ImageDims(le16(6), le16(8))) else None
       case "jpeg" =>
-        // walk marker segments from offset 2 until a start-of-frame
+        // walk marker segments from offset 2 until a start-of-frame.
+        // Consecutive 0xFF bytes before a marker are legal fill/padding
+        // (ITU T.81 §B.1.1.2); EOI and SOS terminate the walk — a frame
+        // header never follows entropy-coded data or end-of-image.
         var i = 2
-        while (i + 3 < b.length && u8(i) == 0xff) {
-          val marker = u8(i + 1)
-          if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd9)) {
-            i += 2 // standalone marker, no length field
+        while (i + 1 < b.length && u8(i) == 0xff) {
+          var mi = i + 1
+          while (mi < b.length && u8(mi) == 0xff) mi += 1 // skip fill bytes
+          if (mi >= b.length) return None
+          val marker = u8(mi)
+          if (marker == 0xd9 || marker == 0xda) return None // EOI / SOS
+          if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd8)) {
+            i = mi + 1 // TEM / RSTn / SOI: standalone, no length field
           } else {
-            val len = be16(i + 2)
+            if (mi + 2 >= b.length) return None
+            val len = be16(mi + 1)
             if (len < 2) return None // corrupt length
-            // SOF0 (baseline) / SOF1 / SOF2 (progressive): FF Cx LL LL P HH HH WW WW
-            if ((marker == 0xc0 || marker == 0xc1 || marker == 0xc2) && i + 8 < b.length)
-              return Some(ImageDims(be16(i + 7), be16(i + 5)))
-            i += 2 + len
+            // SOFn (0xC0-0xCF except DHT 0xC4 / JPG 0xC8 / DAC 0xCC):
+            // FF Cn LL LL P HH HH WW WW — covers baseline, progressive,
+            // lossless, differential, and arithmetic-coded variants
+            val isSof = marker >= 0xc0 && marker <= 0xcf &&
+              marker != 0xc4 && marker != 0xc8 && marker != 0xcc
+            if (isSof)
+              return if (mi + 7 < b.length)
+                Some(ImageDims(be16(mi + 6), be16(mi + 4))) else None
+            i = mi + 1 + len
           }
         }
         None

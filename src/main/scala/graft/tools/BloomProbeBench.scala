@@ -1,8 +1,7 @@
-package graft.tools
+package graft.frontier
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-import graft.frontier.BloomShards
 
 /** Microbench: cost of flagMaybeSeen per candidate row. The join-UDF path
   * extracts the shard's filter bytes from the joined row on EVERY probe
@@ -10,7 +9,11 @@ import graft.frontier.BloomShards
   * sizing) — this measures whether that copy is material and compares the
   * candidate fix (per-partition amortized probe).
   *
-  * Usage: runMain graft.tools.BloomProbeBench [nRows] [buckets] [expected]
+  * Lives in `graft.frontier` (not tools) because flagMaybeSeen is
+  * private[frontier]: it assumes a single shard per bucket and must not be
+  * reachable from engine code.
+  *
+  * Usage: runMain graft.frontier.BloomProbeBench [nRows] [buckets] [expected]
   */
 object BloomProbeBench {
   def main(args: Array[String]): Unit = {

@@ -206,10 +206,27 @@ object Wave {
     //      as WindowGroupLimit in the plan; asserted by PlanCheck) ----
     val k = conf.perHostWaveBudget
     val orderCols = Seq($"hops".asc, $"ts".asc, $"url_canon".asc)
-    val claimed = eligible
-      .withColumn("rn", row_number().over(
-        Window.partitionBy($"host").orderBy(orderCols: _*)))
-      .filter($"rn" <= k).drop("rn")
+    val claimed =
+      if (conf.hostSaltBuckets > 1) {
+        // explicit mega-host salting (flag-gated; see ZenoConf): phase 1
+        // ranks per (host, salt) — its exchange spreads a mega-host over s
+        // reducers and keeps the map-side WindowGroupLimit — phase 2
+        // re-ranks the ≤ s·k per-host survivors for the exact same claimed
+        // set as the unsalted window (one total order; SaltedClaimSpec
+        // pins on/off equivalence on the mega-host fixture)
+        val s = conf.hostSaltBuckets
+        eligible
+          .withColumn("host_salt", pmod(Udfs.fnv64($"url_canon"), lit(s.toLong)))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy($"host", $"host_salt").orderBy(orderCols: _*)))
+          .filter($"rn" <= k).drop("rn")
+          .withColumn("rn", row_number().over(
+            Window.partitionBy($"host").orderBy(orderCols: _*)))
+          .filter($"rn" <= k).drop("rn", "host_salt")
+      } else eligible
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"host").orderBy(orderCols: _*)))
+        .filter($"rn" <= k).drop("rn")
 
     // ---- seencheck at claim (J3). In steady state the enqueue-time
     //      pruning (finish()) guarantees claimed rows were never seen, so

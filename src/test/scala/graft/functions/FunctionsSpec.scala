@@ -202,6 +202,24 @@ class FunctionsSpec extends AnyFunSuite {
       Array[Byte](0xFF.toByte, 0xC2.toByte) ++ be16(17) ++ Array[Byte](8) ++
       be16(1080) ++ be16(1920)
     assert(Multimodal.imageDims(jpeg).contains(Multimodal.ImageDims(1920, 1080)))
+    // 0xFF fill bytes before markers are legal padding (T.81 B.1.1.2);
+    // SOF3 (lossless) carries dims like any SOFn
+    val jpegFill = Array[Byte](0xFF.toByte, 0xD8.toByte) ++
+      Array[Byte](0xFF.toByte, 0xFF.toByte, 0xFF.toByte, 0xE0.toByte) ++
+      be16(2 + 4) ++ Array.fill(4)(0x00.toByte) ++
+      Array[Byte](0xFF.toByte, 0xFF.toByte, 0xC3.toByte) ++ be16(17) ++
+      Array[Byte](8) ++ be16(600) ++ be16(800)
+    assert(Multimodal.imageDims(jpegFill).contains(Multimodal.ImageDims(800, 600)))
+    // EOI terminates the walk — bytes after it are not segment data
+    val jpegEoi = Array[Byte](0xFF.toByte, 0xD8.toByte,
+      0xFF.toByte, 0xD9.toByte, // EOI immediately
+      0xFF.toByte, 0xC0.toByte) ++ be16(17) ++ Array[Byte](8) ++
+      be16(10) ++ be16(10)
+    assert(Multimodal.imageDims(jpegEoi).isEmpty, "no SOF before EOI")
+    // SOS terminates the walk — entropy-coded data is not parseable
+    val jpegSos = Array[Byte](0xFF.toByte, 0xD8.toByte,
+      0xFF.toByte, 0xDA.toByte) ++ be16(4) ++ Array.fill(40)(0x37.toByte)
+    assert(Multimodal.imageDims(jpegSos).isEmpty, "no SOF before SOS")
     // corrupt / truncated → None, never throws
     assert(Multimodal.imageDims(png.take(20)).isEmpty, "truncated IHDR")
     assert(Multimodal.imageDims(Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte,
