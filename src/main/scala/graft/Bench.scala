@@ -267,20 +267,27 @@ object Bench {
   val ProbeParModel = 0.38
 
   /** Measured child-wall model for the default campaign config (16 KB
-    * bodies, seed step 2, 3 timed waves + quarter warmup, shuffle
-    * multiplier 4 + concurrent partitioned-output writers), calibrated on
-    * this box (round 4; see BENCH/BASELINE.md). Values are TOTAL child
-    * wall seconds (JVM + warmup + timed), deliberately ~10% above the
+    * bodies, seed step 2, 2 timed waves + 1/8 warmup, shuffle multiplier 4
+    * + concurrent partitioned-output writers), calibrated on this box
+    * against the ROUND-5 binary (clean-window children at the cached 2.4M
+    * rung: 1-core wall 1082 s, 4-core 380 s — the wave-log narrowing cut
+    * the 1-core wall ~22% vs the round-4 calibration, which priced the
+    * 2.4M pair at 2050 s and so could never fit the default 2100 s budget;
+    * see BENCH/BASELINE.md round-5 section). Values are TOTAL child wall
+    * seconds (JVM + warmup + timed), deliberately ~10% above the
     * calibration measurements so a projection error truncates reps instead
     * of overrunning the budget (children are deadline-killed regardless).
     * Linear interpolation between rungs.
     */
   private val wallModel: Seq[(Long, Map[Int, Double], Double)] = Seq(
     // (pages, level -> child wall secs, corpus build secs) — 2 timed waves
-    (2400000L, Map(1 -> 1600.0, 2 -> 860.0, 4 -> 450.0, 8 -> 320.0, 32 -> 320.0), 280.0),
-    (1200000L, Map(1 -> 760.0, 2 -> 460.0, 4 -> 270.0, 8 -> 190.0, 32 -> 190.0), 150.0),
-    (600000L, Map(1 -> 430.0, 2 -> 240.0, 4 -> 140.0, 8 -> 105.0, 32 -> 110.0), 85.0),
-    (300000L, Map(1 -> 220.0, 2 -> 130.0, 4 -> 80.0, 8 -> 65.0, 32 -> 70.0), 60.0))
+    (2400000L, Map(1 -> 1190.0, 2 -> 700.0, 4 -> 420.0, 8 -> 330.0, 32 -> 330.0), 280.0),
+    (1200000L, Map(1 -> 620.0, 2 -> 370.0, 4 -> 230.0, 8 -> 175.0, 32 -> 175.0), 150.0),
+    // small rungs carry a ~25-30 s fixed child floor (JVM + session +
+    // corpus read + warmup), a larger fraction at high core counts —
+    // round-5 measured 300k: 1-core 191 s, 4-core 108 s
+    (600000L, Map(1 -> 330.0, 2 -> 210.0, 4 -> 145.0, 8 -> 115.0, 32 -> 115.0), 85.0),
+    (300000L, Map(1 -> 200.0, 2 -> 140.0, 4 -> 110.0, 8 -> 90.0, 32 -> 90.0), 60.0))
 
   private def projWall(pages: Long, level: Int): Double = {
     val sorted = wallModel.sortBy(_._1)
