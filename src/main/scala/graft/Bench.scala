@@ -102,7 +102,8 @@ object Bench {
     */
   final case class CrawlSample(work: Long, secs: Double, childWall: Double,
                                phases: Map[String, Double],
-                               util: Map[String, Double] = Map.empty)
+                               util: Map[String, Double] = Map.empty,
+                               driver: Map[String, Double] = Map.empty)
 
   /** Live child process, visible to the shutdown hook so a SIGTERM from
     * the harness kills the in-flight child before the hook prints the
@@ -170,7 +171,7 @@ object Bench {
       case Some(line) =>
         val parts = line.split(" ")
         CrawlSample(parts(1).toLong, parts(2).toDouble, childWall,
-          kvLine("CRAWL_PHASES"), kvLine("CRAWL_UTIL"))
+          kvLine("CRAWL_PHASES"), kvLine("CRAWL_UTIL"), kvLine("CRAWL_DRIVER"))
       case None =>
         System.err.println(s"crawl child failed:\n${out.takeRight(2000)}")
         CrawlSample(0L, 1.0, childWall, Map.empty)
@@ -383,6 +384,11 @@ object Bench {
           .map { case (k, v) => f""""$k":$v%.2f""" }.mkString("{", ",", "}")
         val util = b.util.toSeq.sortBy(_._1)
           .map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+        // driver-serial floor of the best rep: timed wall minus Σ job wall
+        // (Catalyst optimize + codegen compile + commit + manifest IO) —
+        // the component of the wall that parallelism cannot shrink
+        val driver = b.driver.toSeq.sortBy(_._1)
+          .map { case (k, v) => f""""$k":$v%.2f""" }.mkString("{", ",", "}")
         val all = snap.collect { case (`c`, r) => f"${r.secs}%.1f" }
           .mkString("[", ",", "]")
         // best child wall over the calibrated model: >1.2 means even the
@@ -391,7 +397,8 @@ object Bench {
         val wom = b.childWall / projWall(benchPages, c)
         f""""$c":{"best_secs":${b.secs}%.1f,"urls_per_sec":${b.work / b.secs}%.1f,""" +
           f""""wall_over_model":$wom%.2f,""" +
-          f""""samples_secs":$all,"phases":$phases,"task_time":$util}"""
+          f""""samples_secs":$all,"phases":$phases,"task_time":$util,""" +
+          f""""driver":$driver}"""
       }.mkString("{", ",", "}")
       // every adjacent-4× pair present in the level set is an N→4N
       // efficiency measurement
@@ -563,13 +570,19 @@ object Bench {
           var continue = true
           while (continue && rep <= maxReps) {
             var ranAny = false
-            // cheapest level first within each round: when the budget runs
-            // tight, extra reps flow to the cheap multi-core level — which
-            // is also the one with the most window variance (observed 4-core
-            // spread 3.7× vs 1.4× at 1 core: co-tenant bus pressure hits
-            // concurrent reducers hardest), so best-of-reps converges where
-            // it matters most. In roomy windows both levels still multi-rep.
-            levels.sortBy(measuredWall).foreach { c =>
+            // rep 1 runs the EXPENSIVE level first: every level's first
+            // sample is mandatory for the pair, and the 1-core anchor is
+            // both the budget hog and the least window-sensitive (observed
+            // spread 1.2-1.4× vs 3.7× at 4 cores). Cheapest-first here let
+            // one slow 4-core draw inflate the window estimate and starve
+            // the 1-core child of its own pre-reserved budget — the
+            // campaign then voided a completable 2.4M pair into a small
+            // rung. Reps ≥2 go cheapest-first: extra budget flows to the
+            // cheap multi-core level, which is the high-variance one, so
+            // best-of-reps converges where it matters most.
+            val order = if (rep == 1) levels.sortBy(-measuredWall(_))
+                        else levels.sortBy(measuredWall)
+            order.foreach { c =>
               val nHave = samples.count(_._1 == c)
               // `remaining` already carries the tail reserve and every child
               // is deadline-killed at the budget edge, so the fits-check can

@@ -100,6 +100,14 @@ object CrawlBenchChild {
     val taskCpuNs = new java.util.concurrent.atomic.AtomicLong
     val taskGcMs = new java.util.concurrent.atomic.AtomicLong
     val taskN = new java.util.concurrent.atomic.AtomicLong
+    // job-wall accounting: Σ (job end − job start) over the timed waves.
+    // timed wall − Σ job wall = time the driver spent OUTSIDE any running
+    // job — Catalyst optimize + whole-stage codegen compile + commit +
+    // manifest IO — i.e. the per-wave serial floor that caps N→4N scaling
+    // (task-time accounting can't see it: no task is running)
+    val jobWallMs = new java.util.concurrent.atomic.AtomicLong
+    val jobN = new java.util.concurrent.atomic.AtomicLong
+    val jobStartTs = new java.util.concurrent.ConcurrentHashMap[Int, java.lang.Long]()
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
         val m = e.taskMetrics
@@ -109,6 +117,13 @@ object CrawlBenchChild {
           taskGcMs.addAndGet(m.jvmGCTime)
           taskN.incrementAndGet()
         }
+      }
+      override def onJobStart(e: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobStartTs.put(e.jobId, e.time); ()
+      }
+      override def onJobEnd(e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+        val t0 = jobStartTs.remove(e.jobId)
+        if (t0 != null) { jobWallMs.addAndGet(e.time - t0); jobN.incrementAndGet(); () }
       }
     })
     val t0 = System.nanoTime()
@@ -121,6 +136,8 @@ object CrawlBenchChild {
     println(f"CRAWL_UTIL run=${taskRunMs.get / 1e3}%.1f cpu=${taskCpuNs.get / 1e9}%.1f " +
       f"gc=${taskGcMs.get / 1e3}%.1f tasks=${taskN.get}%d " +
       f"util=${taskRunMs.get / 1e3 / (cores * secs)}%.3f")
+    println(f"CRAWL_DRIVER job_wall=${jobWallMs.get / 1e3}%.1f jobs=${jobN.get}%d " +
+      f"gap=${secs - jobWallMs.get / 1e3}%.1f")
     println(f"CRAWL_RESULT $workDone $secs%.3f")
     spark.stop()
     // the per-run crawl stores are ~GB-sized and a campaign forks many
