@@ -539,7 +539,13 @@ object Bench {
         // failed sample, never as a lost report.
         def measuredWall(c: Int): Double = {
           val ws = samples.collect { case (`c`, r) => r.childWall }
-          if (ws.nonEmpty) ws.max * 1.05
+          // MIN of the measured walls, not max: with best-of-reps
+          // semantics and hard per-child deadlines, a slow draw must not
+          // veto the next draw at the same level — the next draw in a
+          // recovered window is exactly the sample the pair needs, and the
+          // worst case of optimism is a deadline-killed child that only
+          // costs the informative query sweep, never the signal
+          if (ws.nonEmpty) ws.min * 1.05
           else {
             // no samples at this level yet: scale the model by the window
             // actually observed on the levels that HAVE run (the best

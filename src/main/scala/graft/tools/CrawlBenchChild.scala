@@ -52,6 +52,13 @@ object CrawlBenchChild {
       // inflation beats the overhead saved, so 8m stands.
       .config("spark.sql.files.maxPartitionBytes",
         sys.env.getOrElse("SPARK_GRAFT_MAX_PART_BYTES", "8m"))
+      // vectorized-reader batch rows (identical at every level). The
+      // corpus carries ~16 KB body blobs, so the default 4096-row batch
+      // materializes ~64 MB per ColumnarBatch — far past L3 — before the
+      // scan's consumer touches row 0; smaller batches keep the
+      // fill→consume loop cache-resident under concurrent readers
+      .config("spark.sql.parquet.columnarReaderBatchSize",
+        sys.env.getOrElse("SPARK_GRAFT_READER_BATCH", "4096"))
       .config("spark.sql.autoBroadcastJoinThreshold", "64m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
