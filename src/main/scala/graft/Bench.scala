@@ -595,7 +595,13 @@ object Bench {
               // spend the true residue instead of stacking a second safety
               // margin on top (which silently wasted ~400 s of clean-window
               // budget that a 4-core rep could have used)
-              val fits = measuredWall(c) <= remaining
+              // a level whose ONLY draws were slow-window draws may still
+              // retry if a clean-window child (model wall) fits: best-of
+              // semantics want the recovered-window sample, the deadline
+              // bounds the downside, and the residue would otherwise fund
+              // only the informative query sweep
+              val fits = math.min(measuredWall(c),
+                projWall(benchPages, c) * 1.05) <= remaining
               // rep 1 runs whenever meaningful time remains AND the
               // window-informed projection is not hopeless (launching a
               // child projected 2× over budget burns the whole residue on
