@@ -331,10 +331,28 @@ object Bench {
     val doQueries = sys.env.getOrElse("SPARK_GRAFT_BENCH_QUERIES", "1") != "0"
 
     // ---- window probe (before the campaign: seeds the rung pick) ----
-    val (probeSer, probePar) = windowProbe(cpus)
-    val probeFactor = math.max(probeSer / ProbeSerModel, probePar / ProbeParModel)
+    var (probeSer, probePar) = windowProbe(cpus)
+    def factorOf(ser: Double, par: Double): Double =
+      math.max(ser / ProbeSerModel, par / ProbeParModel)
+    var probeFactor = factorOf(probeSer, probePar)
     System.err.println(f"BENCH_PROBE serial=$probeSer%.2f parallel=$probePar%.2f " +
       f"factor=$probeFactor%.2f")
+    // the co-tenant pressure oscillates on a ~minute period while the
+    // probe samples ~3 s, and the rung decision it seeds is high-stakes
+    // (the 2.4M pair of record vs a sub-rung). When the first reading is
+    // marginal — slow enough to demote the rung, not a sustained-storm
+    // reading — wait out one oscillation and keep the better reading
+    // (observed: 1.62 and 1.09 sixty seconds apart). Costs ≤75 s of a
+    // budget whose pair projection leaves ~400 s spare.
+    if (probeFactor > 1.15 && probeFactor < 2.2) {
+      Thread.sleep(75000)
+      val (s2, p2) = windowProbe(cpus)
+      System.err.println(f"BENCH_PROBE_RETRY serial=$s2%.2f parallel=$p2%.2f " +
+        f"factor=${factorOf(s2, p2)}%.2f")
+      if (factorOf(s2, p2) < probeFactor) {
+        probeSer = s2; probePar = p2; probeFactor = factorOf(s2, p2)
+      }
+    }
     def probeJson(ser: Double, par: Double): String =
       f"""{"serial_secs":$ser%.2f,"parallel_secs":$par%.2f,""" +
         f""""serial_over_model":${ser / ProbeSerModel}%.2f,""" +
