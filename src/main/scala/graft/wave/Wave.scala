@@ -484,19 +484,93 @@ object Wave {
       else passing0.filter($"link_kind" =!= "outlink" ||
         domainsUdf($"href", $"chost") || $"parent_hops" < conf.maxHops)
 
-    // ---- new-row construction (hop semantics: assets.go:142-153) ----
+    // ---- slim candidate projection: everything below the J1 exchange
+    //      runs on these narrow rows; the wide frontier row (3 of whose
+    //      string columns duplicate href) is constructed only AFTER the
+    //      dedupe, so the shuffle never carries redundant bytes ----
+    val cand = passing.select($"href", $"raw_link", $"chost", $"link_kind",
+        $"parent_canon", $"parent_seed", $"parent_depth", $"parent_hops",
+        $"parent_redirects", $"parent_css_jump")
+      .withColumn("url_hash", Udfs.fnv64($"href"))
+      .withColumn("host_bucket",
+        pmod(xxhash64($"chost"), lit(conf.hostBuckets)).cast("int"))
+      .withColumn("kind",
+        when($"link_kind" === "outlink", "seed")
+          .when($"link_kind" === "redirect", "redirect")
+          .otherwise("asset"))
+
+    // ---- J2 frontier-anti + J3 seen-pruning BEFORE the J1 dedupe
+    //      exchange. The three operations commute exactly: a pending or
+    //      seen URL loses ALL its candidate rows either way, and under
+    //      asset→seed promotion only seed-kind rows survive pruning — the
+    //      same rows kr strictly prefers in the J1 window — so the J1
+    //      winner of every surviving group is unchanged (seencheck.go:
+    //      110-115; UNIQUE(url_canon), schema.sql:9). Running the prunes
+    //      first means the only exchange of the finish DAG carries just
+    //      the genuinely-new URLs plus their in-wave duplicates, not the
+    //      full candidate batch (at the bench corpus most candidates hit
+    //      the pending or seen sets — a multi-× shuffle-byte cut).
+    //
+    //      Both big tables are consumed SCAN-SIDE: a direct left-anti
+    //      against the frontier would either broadcast the whole frontier
+    //      (driver-serial build ∝ frontier size) or SortMergeJoin it
+    //      (full-frontier shuffle per wave) — both fatal at 10^10 rows.
+    //      Instead the frontier streams (column-pruned to url_canon)
+    //      through a semi-join against the broadcast candidate keys; only
+    //      the matches — bounded by wave size — broadcast back for the
+    //      anti. The semi runs on the 8-byte fnv64 key (LongHashedRelation
+    //      build, not a wave-sized string broadcast); a hash collision only
+    //      lets an extra frontier row into `pendingHits` — the anti below
+    //      is exact on the URL string, so results are unaffected.
+    //      The frontier semi and the seen lookup probe with the SAME key
+    //      set (the broadcast hash builds dedupe the multiset), so the two
+    //      big-table scans are INDEPENDENT subtrees off one shared
+    //      broadcast build, and with bloom disabled the identical
+    //      Project(url_hash) child lets ReuseExchange collapse the two
+    //      builds into one. The key builds re-read the written log with
+    //      href/chost-only pruned scans — cheaper than materializing the
+    //      candidate multiset into the block store.
+    val pendingHits = frontier.select($"url_canon")
+      .withColumn("url_hash", Udfs.fnv64($"url_canon"))
+      .join(broadcast(cand.select($"url_hash")), Seq("url_hash"), "left_semi")
+      .select($"url_canon")
+    val maybeKeys = graft.frontier.BloomShards.maybeSeenKeys(
+      cand.select($"url_hash", $"host_bucket"), bloom)
+    val lookup = seenLookup(seen, maybeKeys)
+    val unseen = cand
+      .join(broadcast(lookup), Seq("url_hash"), "left")
+      .filter($"seen_kind".isNull ||
+        ($"seen_kind" === "asset" && $"kind" === "seed"))
+      .drop("seen_kind")
+      .join(broadcast(pendingHits), $"href" === $"url_canon", "left_anti")
+
+    // ---- J1+J2: per-seed and batch dedupe (seed wins over asset) — the
+    //      ONE exchange of the finish DAG, over the pre-pruned slim rows.
+    //      Ordering matches the constructed row's (kr, seed_id, via) ----
     val isOutlink = $"link_kind" === "outlink"
+    val kindRank = when(isOutlink, 0)
+      .when($"link_kind" === "redirect", 1).otherwise(2)
+    val seedKey = when(isOutlink, $"href").otherwise($"parent_seed")
+    val dedupedBatch = unseen
+      .withColumn("kr", kindRank)
+      .withColumn("sk", seedKey)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"href").orderBy($"kr", $"sk", $"parent_canon")))
+      .filter($"rn" === 1).drop("rn", "kr", "sk")
+      // two delta-job consumers (frontier add + seed-count delta) share
+      // the deduped rows; everything upstream is scan + broadcast probes
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // ---- new-row construction (hop semantics: assets.go:142-153) ----
     val hopReset = lit(domainsEnabled) && domainsUdf($"href", $"chost")
-    val rows = passing.select(
+    val unique = dedupedBatch.select(
       $"href".as("url_canon"),
       $"raw_link".as("url"),
       $"chost".as("host"),
-      pmod(xxhash64($"chost"), lit(conf.hostBuckets)).cast("int").as("host_bucket"),
+      $"host_bucket",
       when(isOutlink, $"href").otherwise($"parent_seed").as("seed_id"),
       $"parent_canon".as("via"),
-      when(isOutlink, "seed")
-        .when($"link_kind" === "redirect", "redirect")
-        .otherwise("asset").as("kind"),
+      $"kind",
       when(isOutlink, 0).otherwise($"parent_depth" + 1).as("depth"),
       when(isOutlink, when(hopReset, 0).otherwise($"parent_hops" + 1))
         .otherwise($"parent_hops").as("hops"),
@@ -511,63 +585,11 @@ object Wave {
       lit(wave.toLong).as("ts"))
       .withColumn("id", $"url_canon")
 
-    // ---- J1+J2: per-seed and batch dedupe (seed wins over asset) ----
-    val kindRank = when($"kind" === "seed", 0)
-      .when($"kind" === "redirect", 1).otherwise(2)
-    val dedupedBatch = rows
-      .withColumn("kr", kindRank)
-      .withColumn("rn", row_number().over(
-        Window.partitionBy($"url_canon").orderBy($"kr", $"seed_id", $"via")))
-      .filter($"rn" === 1).drop("rn", "kr")
-
-    // ---- J2 anti-join vs current frontier (UNIQUE(url_canon), schema.sql:9)
-    //      + J3 seen-pruning at enqueue, promotion-aware: a URL seen only as
-    //      an asset may re-enter as a seed (seencheck.go:110-115).
-    //      Bloom shards shrink the lookup key set; bloom-negative rows miss
-    //      the broadcast lookup (null seen_kind) and pass untouched ----
-    // The frontier is consumed SCAN-SIDE like the seen set: a direct
-    // left-anti against the frontier would either broadcast the whole
-    // frontier (driver-serial build ∝ frontier size) or SortMergeJoin it
-    // (full-frontier shuffle per wave) — both fatal at 10^10 rows. Instead
-    // the frontier streams (column-pruned to url_canon) through a semi-join
-    // against the broadcast wave keys; only the matches — bounded by wave
-    // size — broadcast back for the anti.
-    // The semi runs on the 8-byte fnv64 key (LongHashedRelation build, not
-    // a wave-sized string broadcast); a hash collision only lets an extra
-    // frontier row into `pendingHits` — the anti below is exact on
-    // url_canon, so results are unaffected.
-    // The frontier semi and the seen lookup both probe with the SAME
-    // wave-key set (the seen probe uses the full batch keys, a superset of
-    // the post-anti rows — harmless, the left join below only matches what
-    // exists), so the two big-table scans are INDEPENDENT subtrees off one
-    // shared broadcast build: they overlap instead of chaining
-    // batch-bcast → frontier scan → hits-bcast → seen scan, and with bloom
-    // disabled the identical Project(url_hash) child lets ReuseExchange
-    // collapse the two builds into one.
-    val batchCached = dedupedBatch
-      .withColumn("url_hash", Udfs.fnv64($"url_canon"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val pendingHits = frontier.select($"url_canon")
-      .withColumn("url_hash", Udfs.fnv64($"url_canon"))
-      .join(broadcast(batchCached.select($"url_hash")), Seq("url_hash"), "left_semi")
-      .select($"url_canon")
-    val maybeKeys = graft.frontier.BloomShards.maybeSeenKeys(
-      batchCached.select($"url_hash", $"host_bucket"), bloom)
-    val lookup = seenLookup(seen, maybeKeys)
-    val inFrontier = batchCached
-      .join(broadcast(pendingHits), Seq("url_canon"), "left_anti")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val unique = inFrontier
-      .join(broadcast(lookup), Seq("url_hash"), "left")
-      .filter($"seen_kind".isNull ||
-        ($"seen_kind" === "asset" && $"kind" === "seed"))
-      .drop("seen_kind", "url_hash")
-
     // ---- seen appends: everything processed this wave (seencheck.go:98-108)
     val seenAppend = claimedLog.filter($"disposition" =!= "SEEN")
       .select($"url_hash", $"check_kind".as("kind"), $"host_bucket")
 
-    FinishResult(unique, seenAppend, Seq(batchCached, inFrontier))
+    FinishResult(unique, seenAppend, Seq(dedupedBatch))
   }
 
   /** Collapse the append-only seen table to one kind per hash
