@@ -44,6 +44,12 @@ object FetchPlanProbe {
     plan.linesIterator.filter(l =>
       l.contains("Join") || l.contains("Exchange") || l.contains("Scan") ||
         l.contains("Window")).foreach(println)
+    // the fused log must run each UDF once per row: CollapseProject must
+    // not have duplicated the extractor (8-arg, takes html) or the
+    // canonicalizer (produces the c struct) expressions
+    println(s"UDF_CALLS total=${"UDF\\(".r.findAllIn(plan).size} " +
+      s"extract=${"UDF\\([^)]*html".r.findAllIn(plan).size} " +
+      s"generate=${plan.linesIterator.count(_.contains("posexplode"))}")
     spark.stop()
   }
 }

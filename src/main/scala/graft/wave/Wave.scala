@@ -44,28 +44,35 @@ import graft.spark.Udfs
   */
 object Wave {
 
+  /** Column sets of the unified wave log. Claimed rows populate the first
+    * block (candidate columns null), candidate rows the second (claimed
+    * columns null, parent_* carrying the claiming row's lineage).
+    */
+  val claimedCols: Seq[String] = Seq(
+    "url_canon", "host", "host_bucket", "seed_id", "kind", "depth", "hops",
+    "redirects", "css_jump", "ts", "url_hash", "check_kind", "disposition",
+    "status_code", "discard_reason", "n_outlinks", "n_assets")
+  val candCols: Seq[String] = Seq(
+    "parent_canon", "parent_seed", "parent_depth", "parent_hops",
+    "parent_redirects", "parent_css_jump", "raw_link", "link_kind",
+    "href", "chost", "cand_disposition")
+
   final case class WaveLogs(
-      claimedLog: DataFrame, // claimed rows + disposition (FETCHED/REDIRECT/FAILED/SEEN)
-      candidateLog: DataFrame, // every candidate + disposition + parent lineage
+      unified: DataFrame, // ONE row_type-tagged log (claimed ∪ cand rows),
+      // produced in a SINGLE pass: each fetched row's links array explodes
+      // in-pipeline to [1 claimed row] ++ [N candidate rows], so the log
+      // write traverses the fetch+extract exactly once with NO block-store
+      // cache of the fat links arrays in between (the former persist wrote
+      // and re-read every candidate byte through the memory bus — pure
+      // contention at high thread counts)
       cached: Seq[DataFrame] // handles for unpersist after log writes
   ) {
-    /** Both logs as ONE union-schema DataFrame (row_type ∈ claimed|cand) —
-      * a single write job traverses the cached extraction once and halves
-      * the per-wave job count.
-      */
-    def unified: DataFrame = {
-      val cCols = claimedLog.columns.toSet
-      val dCols = candidateLog.columns.toSet
-      val all = claimedLog.columns ++ candidateLog.columns.filterNot(cCols.contains)
-      val types = (claimedLog.schema.fields ++ candidateLog.schema.fields)
-        .map(f => f.name -> f.dataType).toMap
-      def widen(df: DataFrame, have: Set[String], rowType: String): DataFrame =
-        df.select(lit(rowType).as("row_type") +:
-          all.map(c => if (have.contains(c)) col(c)
-                       else lit(null).cast(types(c)).as(c)): _*)
-      widen(claimedLog, cCols, "claimed")
-        .unionByName(widen(candidateLog, dCols, "cand"))
-    }
+    /** Claimed-row view (disposition FETCHED/REDIRECT/FAILED/DISCARDED/SEEN). */
+    def claimedLog: DataFrame = unified
+      .filter(col("row_type") === "claimed").select(claimedCols.map(col): _*)
+    /** Candidate-row view (cand_disposition + parent lineage). */
+    def candidateLog: DataFrame = unified
+      .filter(col("row_type") === "cand").select(candCols.map(col): _*)
   }
 
   /** Storage encoding for the written wave log — the log is by far the
@@ -349,15 +356,16 @@ object Wave {
       $"disposition" === "FETCHED" &&
         (lit(domainsEnabled) || $"hops" < conf.maxHops)
 
-    // E1-E15 dispatch (charset handled inside, E6); cached so the hit-key
-    // anti-join and the two log writes traverse it once. The cache is
-    // PRUNED to exactly the columns the downstream consumers (claimedLog,
-    // candidate synthesis, redirect/facebook children, miss recovery)
-    // read: persist() materializes the full projection as columnar
-    // batches, so every surviving column pays dictionary/RLE encode per
-    // row — dropping the consumed-by-extraction inputs (content_type,
-    // server, link_header, page_url, …) here cut measurable per-wave CPU.
-    val extractedHits = hits
+    // E1-E15 dispatch (charset handled inside, E6). The extraction output
+    // feeds the unified log in ONE pipelined pass (links explode in-flight,
+    // see the fused log below) — in bucketed mode nothing downstream needs
+    // a second traversal, so there is NO persist: the former cache
+    // materialized every candidate byte into the block store and read it
+    // back (two full passes of memory traffic), the single biggest
+    // bus-contention source at high thread counts. Broadcast mode still
+    // persists — its miss recovery anti-joins against the hit keys, a
+    // second consumer outside the write job.
+    val extractedHits0 = hits
       .withColumn("do_assets", doAssets)
       .withColumn("do_outlinks", doOutlinks)
       .withColumn("links",
@@ -367,7 +375,9 @@ object Wave {
         $"depth", $"hops", $"redirects", $"css_jump", $"ts", $"url_hash",
         $"check_kind", $"disposition", $"status_code", $"discard_reason",
         $"location", $"links")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val extractedHits =
+      if (bucketed) extractedHits0
+      else extractedHits0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // broadcast mode only — misses: claimed − hit keys (both sides small;
     // hit keys read from the cache, the corpus is never scanned twice).
@@ -391,70 +401,101 @@ object Wave {
         extractedHits.unionByName(misses)
       }
 
-    val claimedLog = extracted.select(
-      $"url_canon", $"host", $"host_bucket", $"seed_id", $"kind", $"depth",
-      $"hops", $"redirects", $"css_jump", $"ts", $"url_hash", $"check_kind",
-      $"disposition", $"status_code", $"discard_reason",
-      size(filter_links($"links", "outlink")).as("n_outlinks"),
-      size(filter_links($"links", "asset")).as("n_assets"))
-      .unionByName(seenRows.select(
-        $"url_canon", $"host", $"host_bucket", $"seed_id", $"kind", $"depth",
-        $"hops", $"redirects", $"css_jump", $"ts", $"url_hash", $"check_kind",
-        lit("SEEN").as("disposition"), lit(null).cast("int").as("status_code"),
-        lit(null).cast("string").as("discard_reason"),
-        lit(0).as("n_outlinks"), lit(0).as("n_assets")))
-
-    // ---- candidate synthesis: extracted links + E16 redirect children ----
-    val parentCols = Seq(
-      $"url_canon".as("parent_canon"), $"seed_id".as("parent_seed"),
-      $"depth".as("parent_depth"), $"hops".as("parent_hops"),
-      $"redirects".as("parent_redirects"), $"css_jump".as("parent_css_jump"))
-    val linkChildren = extractedHits
-      .select(parentCols :+ explode($"links").as("l"): _*)
-      .select($"parent_canon", $"parent_seed", $"parent_depth", $"parent_hops",
-        $"parent_redirects", $"parent_css_jump",
-        $"l.link".as("raw_link"), $"l.kind".as("link_kind"))
-    val redirectChildren = extractedHits
-      .filter($"disposition" === "REDIRECT" && $"location".isNotNull &&
-        length($"location") > 0 && $"redirects" < conf.maxRedirect)
-      .select(parentCols :+ $"location".as("raw_link"): _*)
-      .withColumn("link_kind", lit("redirect"))
-
+    // ---- fused unified log: ONE pipelined pass. Every extracted row
+    //      explodes to [sentinel → the claimed row] ++ [its candidate
+    //      children: outlinks/assets (E1-E15) + E16 redirect child + E18
+    //      facebook embed], then the candidate half canonicalizes (F1-F3)
+    //      and takes its disposition (F4-F9 + robots) in-flight. No
+    //      block-store cache sits between extraction and the log write ----
+    val childT = "array<struct<raw_link:string,link_kind:string>>"
+    val emptyChildren = array().cast(childT)
+    val linkPairs = transform($"links", l =>
+      struct(l.getField("link").as("raw_link"), l.getField("kind").as("link_kind")))
+    val redirectChild = when( // E16 (synthesized redirect child)
+      $"disposition" === "REDIRECT" && $"location".isNotNull &&
+        length($"location") > 0 && $"redirects" < conf.maxRedirect,
+      array(struct($"location".as("raw_link"),
+        lit("redirect").as("link_kind"))).cast(childT))
+      .otherwise(emptyChildren)
     // E18 facebook: post page → plugins/post.php embed child, hops
     // preserved (asset semantics; facebook.go:17-22). Runs on any
     // non-redirect response, matching the reference's dispatch position
     // after the redirect early-return (item.go:57-69); default-off because
     // upstream currently has the dispatch commented out.
-    val facebookChildren =
-      if (!conf.facebookEmbeds) redirectChildren.limit(0)
-      else extractedHits
-        .filter($"disposition" =!= "REDIRECT" && $"status_code".isNotNull &&
-          Udfs.fbIsPost($"url_canon"))
-        .select(parentCols :+ Udfs.fbEmbed($"url_canon").as("raw_link"): _*)
-        .withColumn("link_kind", lit("asset"))
+    val facebookChild =
+      if (!conf.facebookEmbeds) emptyChildren
+      else when(
+        $"disposition" =!= "REDIRECT" && $"status_code".isNotNull &&
+          Udfs.fbIsPost($"url_canon"),
+        array(struct(Udfs.fbEmbed($"url_canon").as("raw_link"),
+          lit("asset").as("link_kind"))).cast(childT))
+        .otherwise(emptyChildren)
+    // sentinel first: pos 0 becomes the claimed row, pos ≥ 1 the candidates
+    val sentinel = array(struct(lit(null).cast("string").as("raw_link"),
+      lit(null).cast("string").as("link_kind"))).cast(childT)
+    val children = concat(sentinel,
+      coalesce(linkPairs.cast(childT), emptyChildren), redirectChild, facebookChild)
 
-    // ---- canonicalize (F1-F3) + dispositions in preprocessor order ----
-    val canonized = linkChildren.unionByName(redirectChildren)
-      .unionByName(facebookChildren)
-      .withColumn("c", canonUdf($"raw_link", $"parent_canon"))
+    val exploded = extracted
+      .withColumn("n_outlinks", size(filter_links($"links", "outlink")))
+      .withColumn("n_assets", size(filter_links($"links", "asset")))
+      .select(claimedCols.map(col) :+
+        posexplode(children).as(Seq("pos", "child")): _*)
+    val isClaim = $"pos" === 0
+
+    // ---- canonicalize (F1-F3) + dispositions in preprocessor order,
+    //      candidate rows only (the outer when keeps the UDFs off the
+    //      claimed rows; CollapseProject never duplicates a non-cheap
+    //      ScalaUDF, so canon runs exactly once per row) ----
+    val withCanon = exploded
+      .withColumn("c", when(!isClaim, canonUdf($"child.raw_link", $"url_canon")))
+      .withColumn("raw_link", $"child.raw_link")
+      .withColumn("link_kind", $"child.link_kind")
       .withColumn("href", $"c.href")
       .withColumn("chost", $"c.host")
       .withColumn("canon_reject", $"c.reject")
-      .drop("c")
+      .withColumn("parent_css_jump", when(!isClaim, $"css_jump"))
     val fpAsset = $"link_kind".isin("asset", "atimport") &&
       Udfs.pathOf($"href").isin("", "/") // F6 false-positive asset
     val cssOver = $"link_kind" === "atimport" &&
       ($"parent_css_jump" + 1) > conf.maxCSSJump
-    val candidateLog = canonized.withColumn("cand_disposition",
+    val candDisp =
       when($"canon_reject".isNotNull, concat(lit("REJECT_"), upper($"canon_reject")))
         .when(!filterUdf($"href", $"chost"), "EXCLUDED")
         .when(fpAsset, "EXCLUDED_FP_ASSET")
         .when(cssOver, "EXCLUDED_CSS_JUMP")
         .when(!robotsUdf($"chost", Udfs.pathOf($"href")), "EXCLUDED_ROBOTS")
-        .otherwise("PASS"))
-      .drop("canon_reject")
+        .otherwise("PASS")
 
-    WaveLogs(claimedLog, candidateLog, Seq(hashed, extractedHits))
+    // final unified projection: claimed columns null on cand rows and vice
+    // versa (when without otherwise yields a typed null)
+    val fused = withCanon.select(
+      (when(isClaim, "claimed").otherwise("cand").as("row_type") +:
+        claimedCols.map(cn => when(isClaim, col(cn)).as(cn))) ++
+        Seq(
+          when(!isClaim, $"url_canon").as("parent_canon"),
+          when(!isClaim, $"seed_id").as("parent_seed"),
+          when(!isClaim, $"depth").as("parent_depth"),
+          when(!isClaim, $"hops").as("parent_hops"),
+          when(!isClaim, $"redirects").as("parent_redirects"),
+          $"parent_css_jump",
+          $"raw_link", $"link_kind", $"href", $"chost",
+          when(!isClaim, candDisp).as("cand_disposition")): _*)
+
+    // seencheck hits (first wave only): claimed rows with disposition SEEN
+    val fusedTypes = fused.schema.fields.map(f => f.name -> f.dataType).toMap
+    val seenHave = seenRows.columns.toSet
+    val seenWidened = seenRows.select(fused.columns.map {
+      case "row_type" => lit("claimed").as("row_type")
+      case "disposition" => lit("SEEN").as("disposition")
+      case "n_outlinks" => lit(0).as("n_outlinks")
+      case "n_assets" => lit(0).as("n_assets")
+      case cn if seenHave.contains(cn) => col(cn)
+      case cn => lit(null).cast(fusedTypes(cn)).as(cn)
+    }.toSeq: _*)
+
+    WaveLogs(fused.unionByName(seenWidened),
+      if (bucketed) Seq(hashed) else Seq(hashed, extractedHits))
   }
 
   /** Phase 2, reading the *written* logs: new-row construction, J1/J2/J3
