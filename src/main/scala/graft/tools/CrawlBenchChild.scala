@@ -60,6 +60,12 @@ object CrawlBenchChild {
       .config("spark.sql.parquet.columnarReaderBatchSize",
         sys.env.getOrElse("SPARK_GRAFT_READER_BATCH", "4096"))
       .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+      // wave-write parquet codec (log + delta). Default snappy; zstd
+      // trades CPU for bytes — on a shared-bus box the written bytes are
+      // memory traffic (page cache), so a byte cut can relieve the
+      // multi-thread level more than the CPU costs it
+      .config("spark.sql.parquet.compression.codec",
+        sys.env.getOrElse("SPARK_GRAFT_PARQUET_CODEC", "snappy"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
