@@ -270,25 +270,31 @@ object Bench {
   /** Measured child-wall model for the default campaign config (16 KB
     * bodies, seed step 2, 2 timed waves + 1/8 warmup, shuffle multiplier 4
     * + concurrent partitioned-output writers), calibrated on this box
-    * against the ROUND-5 binary (clean-window children at the cached 2.4M
-    * rung: 1-core wall 1082 s, 4-core 380 s — the wave-log narrowing cut
-    * the 1-core wall ~22% vs the round-4 calibration, which priced the
-    * 2.4M pair at 2050 s and so could never fit the default 2100 s budget;
-    * see BENCH/BASELINE.md round-5 section). Values are TOTAL child wall
+    * against the ROUND-5-FINAL binary (fused single-pass wave log; clean-
+    * window children at the cached 2.4M rung: 1-core wall 866.7 s, 4-core
+    * 297 s — see BENCH/BASELINE.md round-5 section; the round-4 model
+    * priced the 2.4M pair at 2050 s and could never fit the default 2100 s
+    * budget). Values are TOTAL child wall
     * seconds (JVM + warmup + timed), deliberately ~10% above the
     * calibration measurements so a projection error truncates reps instead
     * of overrunning the budget (children are deadline-killed regardless).
     * Linear interpolation between rungs.
     */
   private val wallModel: Seq[(Long, Map[Int, Double], Double)] = Seq(
-    // (pages, level -> child wall secs, corpus build secs) — 2 timed waves
-    (2400000L, Map(1 -> 1190.0, 2 -> 700.0, 4 -> 420.0, 8 -> 330.0, 32 -> 330.0), 280.0),
-    (1200000L, Map(1 -> 620.0, 2 -> 370.0, 4 -> 230.0, 8 -> 175.0, 32 -> 175.0), 150.0),
+    // (pages, level -> child wall secs, corpus build secs) — 2 timed waves.
+    // Recalibrated to the round-5-FINAL binary (fused single-pass wave log
+    // + pre-exchange candidate pruning) in verified-clean windows (probe
+    // 0.90-0.94× model on both sides): 2.4M 1-core child wall 866.7 s
+    // (timed 697.0), 4-core 297 s (timed 199.6); corpus build 82 s at 32
+    // cores post-reboot. Lower rungs scaled by the same ~0.75× observed
+    // wall ratio vs the prior calibration.
+    (2400000L, Map(1 -> 950.0, 2 -> 540.0, 4 -> 330.0, 8 -> 260.0, 32 -> 260.0), 160.0),
+    (1200000L, Map(1 -> 490.0, 2 -> 290.0, 4 -> 185.0, 8 -> 140.0, 32 -> 140.0), 95.0),
     // small rungs carry a ~25-30 s fixed child floor (JVM + session +
     // corpus read + warmup), a larger fraction at high core counts —
-    // round-5 measured 300k: 1-core 191 s, 4-core 108 s
-    (600000L, Map(1 -> 330.0, 2 -> 210.0, 4 -> 145.0, 8 -> 115.0, 32 -> 115.0), 85.0),
-    (300000L, Map(1 -> 200.0, 2 -> 140.0, 4 -> 110.0, 8 -> 90.0, 32 -> 90.0), 60.0))
+    // round-5 measured 300k: 1-core 191 s, 4-core 108 s (pre-fuse binary)
+    (600000L, Map(1 -> 265.0, 2 -> 170.0, 4 -> 120.0, 8 -> 95.0, 32 -> 95.0), 60.0),
+    (300000L, Map(1 -> 165.0, 2 -> 115.0, 4 -> 95.0, 8 -> 80.0, 32 -> 80.0), 45.0))
 
   private def projWall(pages: Long, level: Int): Double = {
     val sorted = wallModel.sortBy(_._1)
@@ -466,7 +472,11 @@ object Bench {
     }, "bench-emit-on-term"))
 
     if (doCrawl) {
-      val maxReps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "4").toInt
+      // 3 reps: with the round-5-final walls (1c 867 + 3×4c 297 ≈ 1760 s)
+      // a 4th 4-core rep would eat the query sweep's entire residue for a
+      // marginal best-of gain — 3 draws at the volatile level already
+      // bracket the window
+      val maxReps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
       val safety = 0.93 // projections must underfill the budget slightly
       val reserve = 45.0 // tail room for JSON assembly + temp cleanup
       def remaining: Double = budget - elapsed - reserve
