@@ -167,6 +167,9 @@ object SiteSpecific {
   * mutates outgoing http.Requests with per-site headers/cookies; with no
   * live HTTP here the decoration is exposed as DATA — the first matching
   * site's header map — so a fetching integration can apply it verbatim.
+  * The single source of truth for matcher order and header payloads is
+  * [[RequestBuild]] (the full F10 projection, which also folds in the
+  * configured UA); this view keeps cookies unfolded as pairs.
   * Reference: /root/reference/internal/pkg/preprocessor/sitespecific/
   * sitespecific.go:18-33 (matcher order: npr → reddit → tiktok →
   * truthsocial status → truthsocial accounts).
@@ -176,65 +179,15 @@ object RequestPrep {
   final case class Prep(site: String, headers: Map[String, String],
                         cookies: Map[String, String] = Map.empty)
 
-  private val nprHeaders = Map(
-    "Accept" -> "text/html,application/xhtml+xml,application/xml;q=0.9,*/*;q=0.8",
-    "Accept-Language" -> "fr,fr-FR;q=0.8,en-US;q=0.5,en;q=0.3",
-    "Referer" -> "https://www.npr.org/",
-    "Connection" -> "keep-alive",
-    "Upgrade-Insecure-Requests" -> "1",
-    "Sec-Fetch-Dest" -> "document",
-    "Sec-Fetch-Mode" -> "navigate",
-    "Sec-Fetch-Site" -> "same-origin",
-    "Sec-Fetch-User" -> "?1",
-    "Priority" -> "u=0, i",
-    "Pragma" -> "no-cache",
-    "Cache-Control" -> "no-cache",
-    "TE" -> "trailers")
-
-  private val redditCookies = Map(
-    "eu_cookie_v2" -> "3",
-    "over18" -> "1",
-    "_options" -> "%7B%22pref_quarantine_optin%22%3A%20true%2C%20%22pref_gated_sr_optin%22%3A%20true%7D")
-
-  private val tiktokHeaders = Map(
-    "Authority" -> "www.tiktok.com",
-    "Sec-Ch-Ua" -> "\" Not A;Brand\";v=\"99\", \"Chromium\";v=\"99\", \"Microsoft Edge\";v=\"99\"",
-    "Sec-Ch-Ua-Mobile" -> "?0",
-    "Sec-Ch-Ua-Platform" -> "\"Linux\"",
-    "Dnt" -> "1",
-    "Upgrade-Insecure-Requests" -> "1",
-    "User-Agent" -> "Mozilla/5.0 (X11; Linux x86_64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/99.0.4844.74 Safari/537.36 Edg/99.0.1150.52",
-    "Accept" -> "text/html,application/xhtml+xml,application/xml;q=0.9,image/webp,image/apng,*/*;q=0.8,application/signed-exchange;v=b3;q=0.9",
-    "Sec-Fetch-Site" -> "none",
-    "Sec-Fetch-Mode" -> "navigate",
-    "Sec-Fetch-User" -> "?1",
-    "Sec-Fetch-Dest" -> "document",
-    "Accept-Language" -> "en-US,en;q=0.9,fr;q=0.8")
-
-  private val truthsocialHeaders = Map(
-    "User-Agent" -> "Mozilla/5.0 (X11; Linux x86_64; rv:134.0) Gecko/20100101 Firefox/134.0",
-    "Accept" -> "text/html,application/xhtml+xml,application/xml;q=0.9,*/*;q=0.8",
-    "Accept-Language" -> "en-US;q=0.5,en;q=0.3",
-    "Accept-Encoding" -> "gzip, deflate, br, zstd",
-    "Upgrade-Insecure-Requests" -> "1",
-    "Sec-Fetch-Dest" -> "document",
-    "Sec-Fetch-Mode" -> "navigate",
-    "Sec-Fetch-Site" -> "none",
-    "Sec-Fetch-User" -> "?1",
-    "Connection" -> "keep-alive")
+  private val siteName = Map(
+    "ts_status" -> "truthsocial-status", "ts_accounts" -> "truthsocial-accounts")
 
   /** First matching site's decoration, or None (matcher order preserved). */
-  def forUrl(u: String): Option[Prep] = {
-    if (u == null) None
-    else if (u.contains("npr.org/")) Some(Prep("npr", nprHeaders))
-    else if (u.contains("reddit.com")) Some(Prep("reddit", Map.empty, redditCookies))
-    else if (u.contains("tiktok.com/")) Some(Prep("tiktok", tiktokHeaders))
-    else if (SiteSpecific.TruthSocial.isStatusesUrl(u) ||
-      SiteSpecific.TruthSocial.isAccountLookupUrl(u) ||
-      u.matches("^https?://truthsocial\\.com/api/v1/truth/videos/[a-zA-Z0-9]+$"))
-      Some(Prep("truthsocial-status", truthsocialHeaders))
-    else if (u.matches("^https?://truthsocial\\.com/api/v1/accounts/.*"))
-      Some(Prep("truthsocial-accounts", truthsocialHeaders))
-    else None
+  def forUrl(u: String): Option[Prep] = RequestBuild.preprocessorFor(u) match {
+    case "default" => None
+    case "reddit" =>
+      Some(Prep("reddit", Map.empty, RequestBuild.redditCookiePairs.toMap))
+    case p =>
+      Some(Prep(siteName.getOrElse(p, p), RequestBuild.siteHeaders(p).toMap))
   }
 }

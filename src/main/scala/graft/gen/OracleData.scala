@@ -30,9 +30,15 @@ object OracleData {
 
   def ensure(spark: SparkSession): Unit = synchronized {
     val marker = java.nio.file.Paths.get(s"$Dir/_SUCCESS")
-    if (java.nio.file.Files.exists(marker)) return
-    write(spark)
-    java.nio.file.Files.createFile(marker)
+    if (!java.nio.file.Files.exists(marker)) {
+      write(spark)
+      java.nio.file.Files.createFile(marker)
+    } else if (!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$Dir/request_urls"))) {
+      // round-5 additions over an already-stamped fixture dir: write just
+      // the new tables (deterministic, so no need to rebuild the rest)
+      writeItemTrees(spark)
+    }
   }
 
   def write(spark: SparkSession): Unit = {
@@ -84,7 +90,64 @@ object OracleData {
       seedLines.mkString("\n").getBytes("UTF-8"))
 
     writeTrainingFixtures(spark)
+    writeItemTrees(spark)
     writeExpected(spark)
+  }
+
+  /** J1 + F10 fixtures.
+    *
+    * `items`: flattened per-seed work trees in DFS pre-order (`ord`; the
+    * root is ord 0) with duplicate URLs planted within each seed — the
+    * ord-(1,6,10) triple and the (2,7)/(3,8) pairs share a URL, statuses
+    * sweep all combinations across the 40 seeds — plus one shared URL at
+    * ord 9 that every seed carries (pins the PER-SEED scoping: a URL
+    * duplicated across seeds is kept once per seed, item_dedupe.go:11).
+    *
+    * `request_urls`: URL families covering every site-specific
+    * preprocessor (npr, reddit, tiktok, truthsocial status/video/lookup/
+    * accounts), a both-match URL (reddit host with "npr.org/" in the
+    * path — first Match wins, sitespecific.go:27-33) and non-matching
+    * defaults (incl. a truthsocial post page that matches no API regex).
+    */
+  def writeItemTrees(spark: SparkSession): Unit = {
+    import spark.implicits._
+    val statuses = Array("Fresh", "Completed", "GotChildren", "Failed")
+    val items = (0 until 40).flatMap { s =>
+      val h = s % spec.nHosts
+      val seed = Corpus.pageUrl(h, 0)
+      val root = (seed, 0, seed, "GotChildren", true)
+      val kids = (1 to 10).map { ord =>
+        val url =
+          if (ord == 9) "http://shared.example.org/hub"
+          else if (ord == 10) Corpus.pageUrl(h, 1 + (s * 7 + 3) % 5)
+          else Corpus.pageUrl(h, 1 + (s * 7 + ord * 3) % 5)
+        val st = if (ord == 10) statuses(s % 4)
+                 else statuses((s * 3 + ord * 5) % 4)
+        (seed, ord, url, st, false)
+      }
+      root +: kids
+    }
+    items.toDF("seed_id", "ord", "url_canon", "status", "is_root")
+      .coalesce(1).write.mode("overwrite").parquet(s"$Dir/items")
+
+    val reqUrls = (0 until 120).map { i =>
+      (i % 8) match {
+        case 0 =>
+          if (i % 16 == 8) s"https://truthsocial.com/@user$i/posts/$i"
+          else s"http://host${i % 24}.example.com/page/$i"
+        case 1 => s"https://www.npr.org/2024/$i/story"
+        case 2 =>
+          if (i % 3 == 0) s"https://www.reddit.com/r/npr.org/comments/x$i"
+          else s"https://old.reddit.com/r/test/comments/$i"
+        case 3 => s"https://www.tiktok.com/@user$i/video/$i"
+        case 4 => s"https://truthsocial.com/api/v1/statuses/10$i"
+        case 5 => s"https://truthsocial.com/api/v1/truth/videos/abc$i"
+        case 6 => s"https://truthsocial.com/api/v1/accounts/lookup?acct=user$i"
+        case _ => s"https://truthsocial.com/api/v1/accounts/user$i"
+      }
+    }
+    reqUrls.toDF("url")
+      .coalesce(1).write.mode("overwrite").parquet(s"$Dir/request_urls")
   }
 
   // ---- training-data fixtures: deterministic documents (with exact and

@@ -16,6 +16,7 @@ import graft.extract.{Extract, PageInput}
   */
 final case class CanonResult(href: String, host: String, reject: String)
 final case class ExtractedLink(link: String, kind: String)
+final case class RequestHeader(header_name: String, header_value: String)
 
 object Udfs {
 
@@ -35,6 +36,13 @@ object Udfs {
         case Right(c) => CanonResult(c.href, c.host, null)
         case Left(r) => CanonResult(null, null, r.code)
       })
+
+  /** F10 request build: first-matching preprocessor name + final header
+    * list (preprocessor.go:303-318; sitespecific.go:27-33).
+    */
+  val reqPreproc = udf((u: String) => graft.extract.RequestBuild.preprocessorFor(u))
+  val reqHeaders = udf((u: String) =>
+    graft.extract.RequestBuild.headersFor(u).map { case (k, v) => RequestHeader(k, v) })
 
   /** E18 facebook post detection / embed-URL synthesis (facebook.go:11-22). */
   val fbIsPost = udf((u: String) => graft.extract.SiteSpecific.Facebook.isPostUrl(u))
