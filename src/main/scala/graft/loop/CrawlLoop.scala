@@ -237,7 +237,8 @@ final class CrawlLoop(
     val fin =
       Wave.finish(spark, conf, wave, frontierDf, seenDf, claimedLog, candLog, bloomRef)
 
-    val deletes = claimedLog.select($"url_canon", lit(wave.toLong).as("del_wave"))
+    val deletes = claimedLog.select($"url_canon",
+      graft.spark.LongParam.col(wave.toLong).as("del_wave"))
     val hostNext = Wave.nextHostState(spark, conf, wave, hostDf, claimedLog)
     // per-wave Bloom DELTA shards: one small filter per bucket this wave
     // touched (write/shuffle bytes ∝ wave size — a full shard merge would

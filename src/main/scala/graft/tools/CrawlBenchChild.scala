@@ -67,6 +67,15 @@ object CrawlBenchChild {
       .config("spark.sql.parquet.compression.codec",
         sys.env.getOrElse("SPARK_GRAFT_PARQUET_CODEC", "snappy"))
       .config("spark.sql.session.timeZone", "UTC")
+      // whole-stage-codegen class cache (STATIC conf, default 100 entries).
+      // One crawl wave compiles ~113 codegen units, so at the default size
+      // the LRU evicts wave N's classes before wave N+1 re-requests them —
+      // measured 226 Janino recompiles / ~1.5 s driver-serial per 2 timed
+      // waves even with value-stable source text (LongParam). A long-lived
+      // crawl loop re-executes the SAME plan shapes every wave; sizing the
+      // cache past the working set makes every wave after the first a
+      // cache hit.
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -97,6 +106,26 @@ object CrawlBenchChild {
       val (h, j) = Corpus.locate(i, spec)
       Corpus.pageUrl(h, j)
     }
+    // plan-shape pre-warm on a TINY throwaway corpus, 2 waves: wave ≥2
+    // plans differ structurally from wave 1 (delete masks, bloom layers,
+    // seed-count deltas exist only after a wave has committed), so a
+    // 1-wave warmup leaves the steady-state shape's whole-stage codegen
+    // uncompiled — measured ~1.4 s of pure driver-serial re-Janino per
+    // timed run. Two waves here compile BOTH shapes for a few seconds of
+    // child wall (the tiny corpus scan is negligible; the full-corpus warm
+    // below still does the page-cache warming).
+    val tinySpec = Corpus.Spec(nPages = 4000, nHosts = 80, bodyBytes = bodyBytes)
+    val tinyCorpus = java.nio.file.Files.createTempDirectory("bench-warm-tinyc").toString
+    Corpus.write(spark, tinyCorpus, tinySpec)
+    val tinySeeds = (0L until tinySpec.nPages by seedStep.toLong).map { i =>
+      val (h, j) = Corpus.locate(i, tinySpec)
+      Corpus.pageUrl(h, j)
+    }
+    val tinyWork = java.nio.file.Files.createTempDirectory("bench-warm-tinyw").toString
+    val tinyLoop = new CrawlLoop(spark, conf, tinyWork, tinyCorpus, Corpus.robotsMap(tinySpec))
+    tinyLoop.init(tinySeeds)
+    tinyLoop.run(2)
+
     val warmDir = java.nio.file.Files.createTempDirectory("bench-warm").toString
     val warmLoop = new CrawlLoop(spark, conf, warmDir, corpusDir, Corpus.robotsMap(spec))
     warmLoop.init(warmSeeds)
@@ -139,9 +168,21 @@ object CrawlBenchChild {
         if (t0 != null) { jobWallMs.addAndGet(e.time - t0); jobN.incrementAndGet(); () }
       }
     })
+    // codegen-compile attribution over the timed waves: the Janino source
+    // cache keys on generated source text, and any per-wave literal (wave
+    // number, paths in scans don't reach codegen) forces a recompile of
+    // every whole-stage unit — pure driver-serial that the job-wall gap
+    // above cannot decompose on its own
+    import org.apache.spark.metrics.source.CodegenMetrics
+    val compile0 = CodegenMetrics.METRIC_COMPILATION_TIME.getCount
+    val compileMs0 =
+      CodegenMetrics.METRIC_COMPILATION_TIME.getSnapshot.getMean * compile0
     val t0 = System.nanoTime()
     val counters = loop.run(wavesS.toInt)
     val secs = (System.nanoTime() - t0) / 1e9
+    val compileN = CodegenMetrics.METRIC_COMPILATION_TIME.getCount - compile0
+    val compileMs = CodegenMetrics.METRIC_COMPILATION_TIME.getSnapshot.getMean *
+      CodegenMetrics.METRIC_COMPILATION_TIME.getCount - compileMs0
     val workDone = counters.map(c => c.claimed + c.queued + c.deduped).sum
     val phases = loop.phaseSums.toSeq.sortBy(_._1)
       .map { case (p, s) => f"$p=$s%.2f" }.mkString(" ")
@@ -150,12 +191,13 @@ object CrawlBenchChild {
       f"gc=${taskGcMs.get / 1e3}%.1f tasks=${taskN.get}%d " +
       f"util=${taskRunMs.get / 1e3 / (cores * secs)}%.3f")
     println(f"CRAWL_DRIVER job_wall=${jobWallMs.get / 1e3}%.1f jobs=${jobN.get}%d " +
-      f"gap=${secs - jobWallMs.get / 1e3}%.1f")
+      f"gap=${secs - jobWallMs.get / 1e3}%.1f " +
+      f"compile_n=$compileN%d compile_secs=${compileMs / 1e3}%.1f")
     println(f"CRAWL_RESULT $workDone $secs%.3f")
     spark.stop()
     // the per-run crawl stores are ~GB-sized and a campaign forks many
     // children — delete them or the box's /tmp fills mid-campaign (the
     // shared corpus dir is the only thing worth keeping warm)
-    Seq(warmDir, work).foreach(FsUtil.deleteRecursively)
+    Seq(tinyCorpus, tinyWork, warmDir, work).foreach(FsUtil.deleteRecursively)
   }
 }

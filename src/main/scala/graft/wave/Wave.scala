@@ -202,7 +202,9 @@ object Wave {
     val robotsUdf = Udfs.robotsAllow(robots)
 
     // ---- politeness gate (R2 discretized): drop penalized hosts ----
-    val penalized = hostState.filter($"penalty_until" > wave).select($"host")
+    val penalized = hostState
+      .filter($"penalty_until" > graft.spark.LongParam.col(wave.toLong))
+      .select($"host")
     val eligible = frontier.join(broadcast(penalized), Seq("host"), "left_anti")
 
     // ---- claim (W1+W2): per-host top-k in ONE shuffle. Skew safety comes
@@ -623,7 +625,7 @@ object Wave {
         .otherwise(when(isOutlink, 0).otherwise($"parent_redirects")).as("redirects"),
       when($"link_kind" === "atimport", $"parent_css_jump" + 1)
         .otherwise(when(isOutlink, 0).otherwise($"parent_css_jump")).as("css_jump"),
-      lit(wave.toLong).as("ts"))
+      graft.spark.LongParam.col(wave.toLong).as("ts"))
       .withColumn("id", $"url_canon")
 
     // ---- seen appends: everything processed this wave (seencheck.go:98-108)
@@ -676,7 +678,7 @@ object Wave {
       $"ideal_rate0".as("ideal_rate"),
       // 429-class: penalty 5s·2^(n−1) capped 30s, in waves
       when($"rate_fails" > 0,
-        lit(wave) + ceil(least(
+        graft.spark.LongParam.col(wave.toLong) + ceil(least(
           lit(5.0) * pow(lit(2.0), $"failure_count0".cast("double")), lit(30.0))
           / conf.wavePeriodSeconds).cast("long"))
         .otherwise(coalesce($"penalty_until", lit(0L))).as("penalty_until"),
