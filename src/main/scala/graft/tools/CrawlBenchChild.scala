@@ -114,7 +114,11 @@ object CrawlBenchChild {
     // timed run. Two waves here compile BOTH shapes for a few seconds of
     // child wall (the tiny corpus scan is negligible; the full-corpus warm
     // below still does the page-cache warming).
-    val tinySpec = Corpus.Spec(nPages = 4000, nHosts = 80, bodyBytes = bodyBytes)
+    // plan SHAPES don't depend on corpus or body size, so keep this as
+    // small as the host/seed structure allows — at 1 core the prewarm's
+    // jobs are pure serial child wall eaten out of the campaign budget
+    // (measured 4000-page/16KB version: ~50 s of the 1-core anchor)
+    val tinySpec = Corpus.Spec(nPages = 400, nHosts = 20, bodyBytes = 2000)
     val tinyCorpus = java.nio.file.Files.createTempDirectory("bench-warm-tinyc").toString
     Corpus.write(spark, tinyCorpus, tinySpec)
     val tinySeeds = (0L until tinySpec.nPages by seedStep.toLong).map { i =>
