@@ -29,6 +29,10 @@ object CrawlDemo {
       .config("spark.sql.files.maxPartitionBytes", "8m")
       .config("spark.sql.autoBroadcastJoinThreshold", "64m")
       .config("spark.sql.session.timeZone", "UTC")
+      // one crawl wave compiles ~113 whole-stage-codegen units; the
+      // STATIC default cache (100 entries) evicts them before the next
+      // wave re-requests the (value-stable, see spark/LongParam) sources
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
