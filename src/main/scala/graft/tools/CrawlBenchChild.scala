@@ -54,9 +54,11 @@ object CrawlBenchChild {
         sys.env.getOrElse("SPARK_GRAFT_MAX_PART_BYTES", "8m"))
       // vectorized-reader batch rows (identical at every level). The
       // corpus carries ~16 KB body blobs, so the default 4096-row batch
-      // materializes ~64 MB per ColumnarBatch — far past L3 — before the
-      // scan's consumer touches row 0; smaller batches keep the
-      // fill→consume loop cache-resident under concurrent readers
+      // materializes ~64 MB per ColumnarBatch before the scan's consumer
+      // touches row 0. A/B'd at 2.4M/4-core (interleaved, clean probes):
+      // 512 rows = 223.6 s vs base 213.2 s (~5% WORSE — per-batch setup
+      // overhead beats the locality win), 1024 = 214.1 s (neutral), so
+      // the 4096 default stands; the knob stays for other body sizes
       .config("spark.sql.parquet.columnarReaderBatchSize",
         sys.env.getOrElse("SPARK_GRAFT_READER_BATCH", "4096"))
       .config("spark.sql.autoBroadcastJoinThreshold", "64m")
