@@ -13,6 +13,10 @@ object EngineSpec {
     .appName("zenospark-test")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
+    // hold a full crawl wave's ~113 codegen units (STATIC conf; the
+    // 100-entry default LRU defeats cross-wave class reuse — see
+    // spark/LongParam and CodegenStabilitySpec)
+    .config("spark.sql.codegen.cache.maxEntries", "4096")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
