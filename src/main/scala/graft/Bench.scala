@@ -55,7 +55,7 @@ import graft.gen.Corpus
   *                             the budget (default 0)
   *   SPARK_GRAFT_BENCH_LEVELS  comma-separated core counts (default "1,4")
   *   SPARK_GRAFT_BENCH_WAVES   timed waves per sample (default 2)
-  *   SPARK_GRAFT_BENCH_REPS    max samples per level (default 4; the budget
+  *   SPARK_GRAFT_BENCH_REPS    max samples per level (default 3; the budget
   *                             usually cuts earlier, cheapest level first)
   *   SPARK_GRAFT_BENCH_BONUS   one extra high-thread level sampled ONCE if
   *                             budget remains after the rep loop (default 8;
@@ -73,9 +73,18 @@ import graft.gen.Corpus
   *                             (default 8; the wallModel calibration
   *                             assumes the default — changing it shifts
   *                             every projected child wall)
-  *   SPARK_GRAFT_MAX_PART_BYTES crawl-child scan-split size (default 32m,
+  *   SPARK_GRAFT_MAX_PART_BYTES crawl-child scan-split size (default 8m,
   *                             identical at every level; see
   *                             CrawlBenchChild)
+  *   SPARK_GRAFT_READER_BATCH  crawl-child vectorized-reader batch rows
+  *                             (default 4096; A/B notes in CrawlBenchChild)
+  *   SPARK_GRAFT_PARQUET_CODEC crawl-child wave-write codec (default snappy)
+  *   SPARK_GRAFT_AQE           "true" to enable AQE in crawl children
+  *                             (default false; measured 3-6% slower)
+  *   SPARK_GRAFT_BENCH_PAGES   pin the corpus rung, bypassing the
+  *                             budget-driven pick (default 0 = pick)
+  *   SPARK_GRAFT_BENCH_CORPUS_CACHE corpus cache root (default
+  *                             /tmp/zenospark-bench-corpus-cache)
   */
 object Bench {
 
