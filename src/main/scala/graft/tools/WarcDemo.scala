@@ -1,0 +1,50 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** CLI surface for the S10 WARC sink: runs the payload-digest dedupe
+  * election over the oracle `pages` fixture (or any parquet of
+  * input-hint shape), streams it through the `format("warc")` DataSource
+  * V2 sink, and prints the commit-manifest counters plus the file list —
+  * what an archiving run's output directory looks like.
+  *
+  * Usage: runMain graft.tools.WarcDemo <outDir> [pagesParquet] [sizeThreshold] [maxFileBytes]
+  */
+object WarcDemo {
+  def main(args: Array[String]): Unit = {
+    if (args.length < 1) {
+      System.err.println(
+        "usage: WarcDemo <outDir> [pagesParquet] [sizeThreshold] [maxFileBytes]")
+      sys.exit(2)
+    }
+    val outDir = args(0)
+    val threshold = if (args.length > 2) args(2).toInt else 1
+    val maxBytes = if (args.length > 3) args(3).toLong else graft.warc.Warc.DefaultMaxFileBytes
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("zenospark-warc-demo")
+      .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val pages =
+      if (args.length > 1) spark.read.parquet(args(1))
+      else {
+        graft.gen.OracleData.ensure(spark)
+        spark.read.parquet(s"${graft.gen.OracleData.Dir}/pages")
+      }
+    val counters = graft.warc.Warc.write(pages, outDir,
+      sizeThreshold = threshold,
+      options = Map("maxFileBytes" -> maxBytes.toString, "operator" -> "warc-demo"))
+    counters.toSeq.sortBy(_._1).foreach { case (k, v) => println(s"$k=$v") }
+    val files = {
+      val l = java.nio.file.Files.list(java.nio.file.Paths.get(outDir))
+      try scala.jdk.CollectionConverters.IteratorHasAsScala(l.iterator()).asScala
+        .map(_.getFileName.toString).filter(_.endsWith(".warc.gz")).toSeq.sorted
+      finally l.close()
+    }
+    files.foreach(f => println(s"file=$f"))
+    spark.stop()
+  }
+}

@@ -1,0 +1,205 @@
+package graft.warc
+
+import java.util.zip.GZIPOutputStream
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** `df.write.format("warc").save(dir)` — a DataSource V2 batch sink that
+  * streams [[Warc.sinkSchema]] rows into rotated `*.warc.gz` files, one
+  * gzip member per record (the standard WARC packaging: `zcat`, warcio and
+  * gowarc all read it), each file opened by a warcinfo record.
+  *
+  * Reference behavior covered (`internal/pkg/archiver/warc.go:12-108`):
+  * prefix + size-based rotation (`warc-size`), warcinfo software/operator
+  * fields, revisit records for dedupe hits (the dedupe DECISION itself is
+  * the [[Warc.dedupeElection]] plan transform — see there for why that
+  * beats gowarc's in-process digest cache at cluster scale).
+  *
+  * Scale shape: embarrassingly parallel — each input partition writes its
+  * own rotated file series (names carry the partition id, so no two tasks
+  * ever contend on a file), commit aggregates per-task counters into a
+  * manifest; abort deletes the aborted task's files. No driver-side data
+  * movement: only counters and file names reach the driver.
+  *
+  * Options: `prefix` (default "ZENO"), `maxFileBytes` (rotation, default
+  * 1 GiB), `software`, `operator`, `stamp` (filename timestamp field,
+  * deterministic in tests).
+  */
+class WarcDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "warc"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = Warc.sinkSchema
+  // take the incoming DataFrame's schema as-is; the writer resolves
+  // ordinals by name, so column order and nullability are free
+  override def supportsExternalMetadata(): Boolean = true
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: java.util.Map[String, String]): Table =
+    new WarcTable(schema)
+}
+
+object WarcDataSource {
+  val ManifestName = "_WARC_MANIFEST.json"
+}
+
+private[warc] class WarcTable(writeSchema: StructType) extends Table with SupportsWrite {
+  override def name(): String = "warc-sink"
+  override def schema(): StructType = writeSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    Set(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE).asJava
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WarcWriteBuilder(info)
+}
+
+private[warc] class WarcWriteBuilder(info: LogicalWriteInfo)
+    extends WriteBuilder with SupportsTruncate {
+  private var doTruncate = false
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite =
+      new WarcBatchWrite(info.options(), info.schema(), doTruncate)
+  }
+}
+
+/** Per-task result: file names written + counters (summed at commit). */
+private[warc] case class WarcCommit(files: Seq[String], nResponse: Long,
+                                    nRevisit: Long, bytesWritten: Long,
+                                    payloadBytesDeduped: Long)
+  extends WriterCommitMessage
+
+private[warc] class WarcBatchWrite(options: CaseInsensitiveStringMap,
+                                   schema: StructType, truncate: Boolean)
+    extends BatchWrite {
+  private val dir = Option(options.get("path")).getOrElse(
+    throw new IllegalArgumentException("warc sink requires a save(dir) path"))
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    val p = java.nio.file.Paths.get(dir)
+    java.nio.file.Files.createDirectories(p)
+    if (truncate) {
+      val listing = java.nio.file.Files.list(p)
+      try listing.iterator().asScala.filter { f =>
+        val n = f.getFileName.toString
+        n.endsWith(".warc.gz") || n == WarcDataSource.ManifestName
+      }.toList.foreach(java.nio.file.Files.delete)
+      finally listing.close()
+    }
+    WarcWriterFactory(dir, schema.fieldNames.zipWithIndex.toMap,
+      Option(options.get("prefix")).getOrElse(Warc.DefaultPrefix),
+      Option(options.get("maxFileBytes")).map(_.toLong).getOrElse(Warc.DefaultMaxFileBytes),
+      Option(options.get("software")).getOrElse("zenospark/0.5"),
+      Option(options.get("operator")),
+      Option(options.get("stamp")).getOrElse("00000000000000"))
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val ms = messages.collect { case m: WarcCommit => m }
+    val files = ms.flatMap(_.files).sorted
+    val json = new StringBuilder("{")
+    json.append(s""""n_response":${ms.map(_.nResponse).sum},""")
+    json.append(s""""n_revisit":${ms.map(_.nRevisit).sum},""")
+    json.append(s""""n_files":${files.length},""")
+    json.append(s""""bytes_written":${ms.map(_.bytesWritten).sum},""")
+    json.append(s""""payload_bytes_deduped":${ms.map(_.payloadBytesDeduped).sum},""")
+    json.append(files.map("\"" + _ + "\"").mkString(""""files":[""", ",", "]}"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, WarcDataSource.ManifestName),
+      json.toString.getBytes("UTF-8"))
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.collect { case m: WarcCommit => m }.flatMap(_.files).foreach { f =>
+      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(dir, f))
+    }
+}
+
+private[warc] case class WarcWriterFactory(dir: String, ord: Map[String, Int],
+                                           prefix: String, maxFileBytes: Long,
+                                           software: String, operator: Option[String],
+                                           stamp: String)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new WarcDataWriter(this, partitionId)
+}
+
+/** Streams rows into the current file; rotates when the file passes
+  * `maxFileBytes` (checked between records, like gowarc's rotator — a
+  * record never splits across files).
+  */
+private[warc] class WarcDataWriter(f: WarcWriterFactory, partitionId: Int)
+    extends DataWriter[InternalRow] {
+  private val files = scala.collection.mutable.ArrayBuffer.empty[String]
+  private var out: java.io.FileOutputStream = null
+  private var fileBytes = 0L
+  private var seq = 0
+  private var nResponse = 0L
+  private var nRevisit = 0L
+  private var bytesWritten = 0L
+  private var dedupedBytes = 0L
+
+  private val iUrl = f.ord("url")
+  private val iTs = f.ord("warc_ts")
+  private val iPayload = f.ord("payload")
+  private val iType = f.ord("record_type")
+  private val iRefTo = f.ord("refers_to")
+  private val iRefTs = f.ord("refers_ts")
+
+  private def writeMember(record: Array[Byte]): Unit = {
+    val gz = new GZIPOutputStream(out, 64 * 1024)
+    gz.write(record)
+    gz.finish() // close the gzip member, keep the file stream open
+    out.flush()
+  }
+
+  private def rotate(micros: Long): Unit = {
+    if (out != null) { out.close(); out = null }
+    val name = f"${f.prefix}-${f.stamp}-$partitionId%05d-$seq%05d.warc.gz"
+    seq += 1
+    files += name
+    val path = java.nio.file.Paths.get(f.dir, name)
+    out = new java.io.FileOutputStream(path.toFile)
+    fileBytes = 0L
+    writeMember(Warc.warcinfoRecord(name, micros, f.software, f.operator))
+    fileBytes = path.toFile.length()
+  }
+
+  override def write(row: InternalRow): Unit = {
+    val url = row.getUTF8String(iUrl).toString
+    val micros = row.getLong(iTs)
+    val payload = if (row.isNullAt(iPayload)) Array.emptyByteArray else row.getBinary(iPayload)
+    val isRevisit = row.getUTF8String(iType).toString == "revisit"
+    val rec =
+      if (isRevisit) {
+        val refTo = if (row.isNullAt(iRefTo)) url else row.getUTF8String(iRefTo).toString
+        val refTs = if (row.isNullAt(iRefTs)) micros else row.getLong(iRefTs)
+        nRevisit += 1
+        dedupedBytes += payload.length
+        Warc.revisitRecord(url, micros, payload, refTo, refTs)
+      } else {
+        nResponse += 1
+        Warc.responseRecord(url, micros, payload)
+      }
+    if (out == null || fileBytes >= f.maxFileBytes) rotate(micros)
+    writeMember(rec)
+    fileBytes += rec.length // pre-compression size: rotation bound, not accounting
+  }
+
+  override def commit(): WriterCommitMessage = {
+    if (out != null) { out.close(); out = null }
+    bytesWritten = files.map(n =>
+      java.nio.file.Paths.get(f.dir, n).toFile.length()).sum
+    WarcCommit(files.toSeq, nResponse, nRevisit, bytesWritten, dedupedBytes)
+  }
+
+  override def abort(): Unit = {
+    if (out != null) { out.close(); out = null }
+    files.foreach(n => java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(f.dir, n)))
+  }
+
+  override def close(): Unit = if (out != null) { out.close(); out = null }
+}
