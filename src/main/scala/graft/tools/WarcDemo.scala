@@ -45,6 +45,13 @@ object WarcDemo {
       finally l.close()
     }
     files.foreach(f => println(s"file=$f"))
+    // read the archive back through the source side of the format — the
+    // counts must reproduce the sink's commit counters
+    val back = spark.read.format("warc").load(outDir)
+      .groupBy("record_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    println(s"readback_response=${back.getOrElse("response", 0L)}")
+    println(s"readback_revisit=${back.getOrElse("revisit", 0L)}")
     spark.stop()
   }
 }

@@ -4,8 +4,9 @@ import java.util.zip.GZIPOutputStream
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.ScanBuilder
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.StructType
@@ -34,26 +35,36 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   */
 class WarcDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "warc"
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType = Warc.sinkSchema
+  // consulted only on the READ path (the write path passes the incoming
+  // DataFrame's schema through supportsExternalMetadata)
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    WarcRead.readSchema
   // take the incoming DataFrame's schema as-is; the writer resolves
   // ordinals by name, so column order and nullability are free
   override def supportsExternalMetadata(): Boolean = true
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: java.util.Map[String, String]): Table =
-    new WarcTable(schema)
+    new WarcTable(schema, Option(properties.get("path")))
 }
 
 object WarcDataSource {
   val ManifestName = "_WARC_MANIFEST.json"
 }
 
-private[warc] class WarcTable(writeSchema: StructType) extends Table with SupportsWrite {
-  override def name(): String = "warc-sink"
-  override def schema(): StructType = writeSchema
+private[warc] class WarcTable(tableSchema: StructType, path: Option[String])
+    extends Table with SupportsWrite with SupportsRead {
+  override def name(): String = "warc"
+  override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    Set(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE).asJava
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WarcWriteBuilder(info)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val dir = Option(options.get("path")).orElse(path).getOrElse(
+      throw new IllegalArgumentException("warc read requires a load(dir) path"))
+    new WarcScanBuilder(WarcRead.listWarcFiles(dir))
+  }
 }
 
 private[warc] class WarcWriteBuilder(info: LogicalWriteInfo)

@@ -165,6 +165,41 @@ class WarcSinkSpec extends AnyFunSuite {
     graft.tools.FsUtil.deleteRecursively(dir)
   }
 
+  test("read path round-trips the sink: rows, payload bytes, lineage, ts") {
+    val dir = java.nio.file.Files.createTempDirectory("warcrt").toString
+    Warc.write(pagesDf.repartition(1), dir, sizeThreshold = 64)
+    val back = spark.read.format("warc").load(dir)
+    assert(back.count() == 6L)
+    val rows = back.collect().map { r =>
+      r.getAs[String]("url") -> ((r.getAs[String]("record_type"),
+        Option(r.getAs[Array[Byte]]("payload")).map(_.toSeq).getOrElse(Nil),
+        Option(r.getAs[String]("refers_to")),
+        r.getAs[java.sql.Timestamp]("warc_ts")))
+    }.toMap
+    val orig = pagesDf.collect().map(r =>
+      r.getString(0) -> ((r.getAs[Array[Byte]]("html").toSeq, r.getTimestamp(1)))).toMap
+    // responses carry the exact original payload bytes and second-precision ts
+    Seq("http://h1.example/b", "http://h2.example/d", "http://h2.example/e",
+      "http://h3.example/f").foreach { u =>
+      val (t, p, ref, ts2) = rows(u)
+      assert(t == "response" && ref.isEmpty, u)
+      assert(p == orig(u)._1, s"payload bytes differ for $u")
+      assert(ts2.getTime == orig(u)._2.getTime, u)
+    }
+    // revisits: no payload bytes, lineage to the elected canonical
+    Seq("http://h1.example/a", "http://h2.example/c").foreach { u =>
+      val (t, p, ref, _) = rows(u)
+      assert(t == "revisit" && p.isEmpty && ref.contains("http://h1.example/b"), u)
+    }
+    // column pruning reaches the scan: a payload-free projection reads
+    // a one-column schema (ReadSchema in the DSv2 scan node)
+    val pruned = back.select("url").queryExecution.executedPlan.toString
+    // the BatchScan's bracketed output list is the pruned schema: one
+    // attribute, no payload column materialized
+    assert(pruned.matches("(?s).*BatchScan warc\\[url#\\d+\\].*"), pruned)
+    graft.tools.FsUtil.deleteRecursively(dir)
+  }
+
   test("election on the pages fixture matches exact payload grouping") {
     graft.gen.OracleData.ensure(spark)
     val pages = spark.read.parquet(s"${graft.gen.OracleData.Dir}/pages")
