@@ -9,7 +9,9 @@ import graft.loop.CrawlLoop
   * seed the frontier, run waves, print per-wave counters. Re-running with
   * the same workDir resumes from the last committed snapshot.
   *
-  * Usage: runMain graft.tools.CrawlDemo <workDir> [nSeeds] [maxWaves] [cores] [nPages]
+  * Usage: runMain graft.tools.CrawlDemo <workDir> [nSeeds] [maxWaves] [cores] [nPages] [nHosts] [warcOutDir]
+  * (a non-empty warcOutDir archives the crawl's fetched pages as rotated
+  * WARC files through graft.warc — the S10 sink over the job's lineage)
   */
 object CrawlDemo {
   def main(args: Array[String]): Unit = {
@@ -64,6 +66,14 @@ object CrawlDemo {
       f"${scheduled / math.max(secs, 1e-9)}%.0f urls scheduled+deduped/s")
     val frontierLeft = loop.frontier.count()
     println(s"frontier remaining: $frontierLeft, seen: ${loop.seen.count()}")
+    // optional 7th arg: archive the crawl's fetched pages as WARC (S10)
+    if (args.length > 6 && args(6).nonEmpty) {
+      val warcCounters = graft.warc.Warc.archiveCrawl(
+        spark, s"$workDir/store", s"$corpusDir/pages", args(6),
+        options = Map("operator" -> "crawl-demo"))
+      println(warcCounters.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"$k=$v" }.mkString("warc: ", " ", ""))
+    }
     spark.stop()
   }
 }

@@ -98,6 +98,43 @@ object Warc {
     readManifest(dir)
   }
 
+  /** Archive a finished crawl job: every url the crawl FETCHED (claimed
+    * rows of the retained wave logs under `<storeDir>/data/w*-log`),
+    * joined back against the pages corpus, through the election + sink.
+    * This is the reference's archiver stage run as a batch dataflow over
+    * the crawl's own lineage (it archives during the fetch; our fetch is
+    * a corpus join, so archiving is a corpus re-join on the claimed set).
+    * Dispositions default to FETCHED only — failures and discards are
+    * never archived (discard hook contract), and REDIRECT rows carry no
+    * corpus body of their own.
+    *
+    * Call before `FrontierStore.vacuum()` — vacuum reclaims wave logs.
+    */
+  def archiveCrawl(spark: org.apache.spark.sql.SparkSession, storeDir: String,
+                   pagesDir: String, outDir: String,
+                   dispositions: Seq[String] = Seq("FETCHED"),
+                   sizeThreshold: Int = DefaultDedupeSize,
+                   options: Map[String, String] = Map.empty): Map[String, Long] = {
+    val dataDir = java.nio.file.Paths.get(storeDir, "data")
+    val logDirs = {
+      val l = java.nio.file.Files.list(dataDir)
+      try scala.jdk.CollectionConverters.IteratorHasAsScala(l.iterator()).asScala
+        .map(_.toString).filter(_.matches(".*/w\\d+-log$")).toSeq.sorted
+      finally l.close()
+    }
+    require(logDirs.nonEmpty, s"no wave logs under $dataDir (already vacuumed?)")
+    val fetched = spark.read.parquet(logDirs: _*)
+      .filter(col("row_type") === "claimed" &&
+        col("disposition").isin(dispositions: _*))
+      .select(col("url_canon")).distinct()
+    val pages = spark.read.parquet(pagesDir)
+    // left-semi on the url key: the corpus never shuffles more than the
+    // claimed set's worth of matching rows; broadcast when the wave-sized
+    // fetched set is small
+    val archived = pages.join(fetched, pages("url") === fetched("url_canon"), "left_semi")
+    write(archived, outDir, sizeThreshold, options = options)
+  }
+
   def readManifest(dir: String): Map[String, Long] = {
     val f = java.nio.file.Paths.get(dir, WarcDataSource.ManifestName)
     val txt = new String(java.nio.file.Files.readAllBytes(f), "UTF-8")
