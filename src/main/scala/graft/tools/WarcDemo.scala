@@ -52,6 +52,27 @@ object WarcDemo {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     println(s"readback_response=${back.getOrElse("response", 0L)}")
     println(s"readback_revisit=${back.getOrElse("revisit", 0L)}")
+    // streaming leg: re-archive the first pages as a file-source stream
+    // through writeStream.format("warc") — the continuous-archiving shape
+    val streamIn = s"$outDir-streamin"
+    val streamOut = s"$outDir-stream"
+    graft.tools.FsUtil.deleteRecursively(streamIn)
+    graft.tools.FsUtil.deleteRecursively(streamOut)
+    import org.apache.spark.sql.functions._
+    pages.limit(500).coalesce(1).write.mode("overwrite").parquet(streamIn)
+    val q = spark.readStream.schema(pages.schema).parquet(streamIn)
+      .select(col("url"), col("warc_ts"), col("html").as("payload"),
+        lit("response").as("record_type"),
+        lit(null).cast("string").as("refers_to"),
+        lit(null).cast("timestamp").as("refers_ts"))
+      .writeStream.format("warc")
+      .option("checkpointLocation", s"$streamOut-ckpt")
+      .outputMode("append")
+      .start(streamOut)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.read.format("warc").load(streamOut).count()
+    println(s"streamed_records=$streamed")
     spark.stop()
   }
 }

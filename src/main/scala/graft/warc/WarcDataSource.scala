@@ -57,7 +57,7 @@ private[warc] class WarcTable(tableSchema: StructType, path: Option[String])
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE).asJava
+      TableCapability.STREAMING_WRITE, TableCapability.TRUNCATE).asJava
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WarcWriteBuilder(info)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
@@ -74,7 +74,61 @@ private[warc] class WarcWriteBuilder(info: LogicalWriteInfo)
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
       new WarcBatchWrite(info.options(), info.schema(), doTruncate)
+    override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+      new WarcStreamingWrite(info.options(), info.schema())
   }
+}
+
+/** Streaming twin of the batch sink (`writeStream.format("warc")`): the
+  * reference archives continuously as responses arrive; here each
+  * micro-batch's partitions stream into epoch-stamped rotated files
+  * (`prefix-stamp-e<epoch>-part-seq.warc.gz`). Epoch replay after a
+  * failure rewrites the same deterministic names, so a duplicated commit
+  * converges on the same bytes instead of duplicating records. Per-epoch
+  * counters land in `_WARC_MANIFEST_e<epoch>.json`.
+  */
+private[warc] class WarcStreamingWrite(options: CaseInsensitiveStringMap,
+                                       schema: StructType)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+  private val dir = Option(options.get("path")).getOrElse(
+    throw new IllegalArgumentException("warc streaming sink requires a path"))
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    val base = WarcWriterFactory(dir, schema.fieldNames.zipWithIndex.toMap,
+      Option(options.get("prefix")).getOrElse(Warc.DefaultPrefix),
+      Option(options.get("maxFileBytes")).map(_.toLong).getOrElse(Warc.DefaultMaxFileBytes),
+      Option(options.get("software")).getOrElse("zenospark/0.5"),
+      Option(options.get("operator")),
+      Option(options.get("stamp")).getOrElse("00000000000000"))
+    new WarcStreamingWriterFactory(base)
+  }
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val ms = messages.collect { case m: WarcCommit => m }
+    val files = ms.flatMap(_.files).sorted
+    val json = s"""{"epoch":$epochId,"n_response":${ms.map(_.nResponse).sum},""" +
+      s""""n_revisit":${ms.map(_.nRevisit).sum},"n_files":${files.length},""" +
+      s""""bytes_written":${ms.map(_.bytesWritten).sum},""" +
+      s""""payload_bytes_deduped":${ms.map(_.payloadBytesDeduped).sum},""" +
+      files.map("\"" + _ + "\"").mkString(""""files":[""", ",", "]}")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, s"_WARC_MANIFEST_e$epochId.json"),
+      json.getBytes("UTF-8"))
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    messages.collect { case m: WarcCommit => m }.flatMap(_.files).foreach { f =>
+      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(dir, f))
+    }
+}
+
+private[warc] class WarcStreamingWriterFactory(base: WarcWriterFactory)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+                            epochId: Long): DataWriter[InternalRow] =
+    new WarcDataWriter(base.copy(stamp = f"${base.stamp}-e$epochId%05d"), partitionId)
 }
 
 /** Per-task result: file names written + counters (summed at commit). */

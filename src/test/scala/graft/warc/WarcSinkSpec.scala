@@ -200,6 +200,50 @@ class WarcSinkSpec extends AnyFunSuite {
     graft.tools.FsUtil.deleteRecursively(dir)
   }
 
+  test("streaming sink: micro-batches land as epoch-stamped files, batch-readable") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("warcstream").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("warcckpt").toString
+    val mem = MemoryStream[(String, Long, Array[Byte])]
+    val q = mem.toDF().toDF("url", "secs", "payload")
+      .select(col("url"),
+        timestamp_seconds(col("secs")).as("warc_ts"),
+        col("payload"),
+        lit("response").as("record_type"),
+        lit(null).cast("string").as("refers_to"),
+        lit(null).cast("timestamp").as("refers_ts"))
+      .writeStream.format("warc")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .start(dir)
+    mem.addData(("http://s.example/1", 1700000001L, "<html>one</html>".getBytes("UTF-8")))
+    q.processAllAvailable()
+    mem.addData(("http://s.example/2", 1700000002L, "<html>two</html>".getBytes("UTF-8")),
+      ("http://s.example/3", 1700000003L, "<html>three</html>".getBytes("UTF-8")))
+    q.processAllAvailable()
+    q.stop()
+
+    // the batch read path sees the union of all epochs
+    val back = spark.read.format("warc").load(dir)
+    assert(back.count() == 3L)
+    assert(back.select("url").collect().map(_.getString(0)).sorted.toSeq ==
+      Seq("http://s.example/1", "http://s.example/2", "http://s.example/3"))
+    // per-epoch manifests + epoch-stamped file names (replay idempotence
+    // hinges on the deterministic epoch in the name)
+    val names = {
+      val l = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      try scala.jdk.CollectionConverters.IteratorHasAsScala(l.iterator()).asScala
+        .map(_.getFileName.toString).toSeq.sorted
+      finally l.close()
+    }
+    assert(names.exists(_.startsWith("_WARC_MANIFEST_e")), names.mkString(","))
+    assert(names.filter(_.endsWith(".warc.gz")).forall(_.contains("-e")), names.mkString(","))
+    graft.tools.FsUtil.deleteRecursively(dir)
+    graft.tools.FsUtil.deleteRecursively(ckpt)
+  }
+
   test("election on the pages fixture matches exact payload grouping") {
     graft.gen.OracleData.ensure(spark)
     val pages = spark.read.parquet(s"${graft.gen.OracleData.Dir}/pages")
