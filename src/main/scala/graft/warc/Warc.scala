@@ -54,19 +54,19 @@ object Warc {
     * (reference `warc-dedupe-size`: revisit-record overhead beats storing
     * tiny payloads only past a size floor).
     *
-    * Scale shape: the window partitions on `xxhash64(payload)` — an 8-byte
-    * shuffle key like [[graft.functions.Dedup.exact]] — with the raw
-    * payload kept in the ORDER-side only of its own group, so the exchange
-    * moves each payload once and skew is bounded by the duplicate-group
-    * size. Hash collisions across distinct payloads are disambiguated by
-    * a secondary partition key on the payload itself (cheap: only rows
-    * sharing an 8-byte hash compare bytes).
+    * Scale shape: the window partitions on the SHA-256 of the payload — a
+    * fixed 32-byte key, so the exchange hashing and the in-partition sort
+    * never compare raw payload bytes (at 16 KB bodies a payload-keyed
+    * sort comparator would be the bottleneck). Digest equality stands in
+    * for payload equality exactly as in the reference, whose gowarc local
+    * dedupe keys its cache on the record digest (`warc.go:30`); skew is
+    * bounded by the duplicate-group size.
     */
   def dedupeElection(pages: DataFrame, sizeThreshold: Int = DefaultDedupeSize,
                      payloadCol: String = "html"): DataFrame = {
     val p = col(payloadCol)
     val big = octet_length(p) >= sizeThreshold
-    val w = Window.partitionBy(xxhash64(p), p).orderBy(col("warc_ts"), col("url"))
+    val w = Window.partitionBy(sha2(p, 256)).orderBy(col("warc_ts"), col("url"))
     pages
       .withColumn("__rn", when(big, row_number().over(w)).otherwise(lit(1)))
       .withColumn("__first_url", when(big, first(col("url")).over(w)))
