@@ -244,6 +244,45 @@ class WarcSinkSpec extends AnyFunSuite {
     graft.tools.FsUtil.deleteRecursively(ckpt)
   }
 
+  test("archiveCrawl: fetched claimed rows of the wave lineage reach the archive") {
+    import spark.implicits._
+    val store = java.nio.file.Files.createTempDirectory("warcstore").toString
+    val out = java.nio.file.Files.createTempDirectory("warcout").toString
+    // minimal store layout: two wave-log dirs with claimed rows across
+    // dispositions, plus candidate rows that must be ignored
+    Seq(
+      ("claimed", "http://a.example/1", "FETCHED"),
+      ("claimed", "http://a.example/2", "FAILED"),
+      ("cand", "http://a.example/3", "PASS"))
+      .toDF("row_type", "url_canon", "disposition")
+      .write.parquet(s"$store/data/w00001-log")
+    Seq(
+      ("claimed", "http://a.example/3", "FETCHED"),
+      ("claimed", "http://a.example/1", "FETCHED"), // refetch: distinct() folds it
+      ("claimed", "http://a.example/4", "DISCARDED"))
+      .toDF("row_type", "url_canon", "disposition")
+      .write.parquet(s"$store/data/w00002-log")
+    val pagesDir = s"$store/pages"
+    Seq(
+      ("http://a.example/1", ts(1), "<html>p1</html>".getBytes("UTF-8")),
+      ("http://a.example/2", ts(2), "<html>p2</html>".getBytes("UTF-8")),
+      ("http://a.example/3", ts(3), "<html>p3</html>".getBytes("UTF-8")),
+      ("http://a.example/4", ts(4), "<html>p4</html>".getBytes("UTF-8")),
+      ("http://a.example/5", ts(5), "<html>p5</html>".getBytes("UTF-8")))
+      .toDF("url", "warc_ts", "html").write.parquet(pagesDir)
+
+    val counters = Warc.archiveCrawl(spark, store, pagesDir, out)
+    // only FETCHED claimed rows archive: urls 1 and 3 — not the FAILED,
+    // not the DISCARDED, not the candidate row, not the uncrawled page
+    assert(counters("n_response") == 2L)
+    assert(counters("n_revisit") == 0L)
+    val urls = spark.read.format("warc").load(out)
+      .select("url").collect().map(_.getString(0)).sorted.toSeq
+    assert(urls == Seq("http://a.example/1", "http://a.example/3"))
+    graft.tools.FsUtil.deleteRecursively(store)
+    graft.tools.FsUtil.deleteRecursively(out)
+  }
+
   test("election on the pages fixture matches exact payload grouping") {
     graft.gen.OracleData.ensure(spark)
     val pages = spark.read.parquet(s"${graft.gen.OracleData.Dir}/pages")
