@@ -44,6 +44,17 @@ object Canon {
 
   private val schemeRe = "^[A-Za-z][A-Za-z0-9+.\\-]*:".r
 
+  /** Last (parent, conf) → canonical base, per thread. In the wave the
+    * candidate rows of one page are contiguous after the posexplode, so
+    * every relative link of a page after the first hits this cache instead
+    * of re-canonicalizing the identical parent string (the recursive call
+    * below). Keyed on the parent string AND the caller's conf instance
+    * (reference equality: a UDF closure holds one conf for the whole
+    * task), so a different conf can never see a stale entry.
+    */
+  private val lastParentBase =
+    new ThreadLocal[(String, ZenoConf, Either[Reject, CanonUrl])]
+
   final private case class Parts(
       scheme: String,
       userinfo: String, // "" if none
@@ -83,7 +94,15 @@ object Canon {
               Left(NoParent)
             else parseAbsolute("http://" + raw)
           case Some(p) =>
-            canonicalize(p, None, conf.copy(maxURLLength = Int.MaxValue)) match {
+            val hit = lastParentBase.get()
+            val baseE =
+              if (hit != null && (hit._2 eq conf) && hit._1 == p) hit._3
+              else {
+                val r = canonicalize(p, None, conf.copy(maxURLLength = Int.MaxValue))
+                lastParentBase.set((p, conf, r))
+                r
+              }
+            baseE match {
               case Left(_) => Left(ParseError)
               case Right(base) => resolveRelative(raw, base)
             }

@@ -2,7 +2,6 @@ package graft.functions
 
 import org.apache.spark.sql.{DataFrame, SparkSession, Column}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 /** Large-scale training-data deduplication operators over a `documents`
   * table (doc_id, text). Each is expressed Spark-first: shuffles only on
@@ -10,6 +9,20 @@ import org.apache.spark.sql.expressions.Window
   * except within buckets.
   */
 object Dedup {
+
+  /** Scale-adaptive parallelism floor (guide §2: derive partitioning from
+    * input size, never from a constant tuned for one deployment): the
+    * per-doc operators below are pure projections whose parallelism is
+    * the SCAN's split count — right at scale (plenty of splits, zero
+    * shuffles added), but a tiny local input reads as one split and would
+    * serialize the whole compute on one core. When the scan provides
+    * fewer splits than the session's default parallelism, round-robin the
+    * rows out once; at real scale this is a no-op.
+    */
+  private[graft] def spread(docs: DataFrame): DataFrame = {
+    val p = docs.sparkSession.sparkContext.defaultParallelism
+    if (docs.rdd.getNumPartitions < p) docs.repartition(p) else docs
+  }
 
   /** Exact dedupe: one keeper (min doc_id) per identical text.
     * At 100 TB: group on xxhash64(text) first so the shuffle moves 8-byte
@@ -19,19 +32,38 @@ object Dedup {
     docs.groupBy(xxhash64(col("text")).as("text_hash"))
       .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"))
 
-  /** Word-shingle set per document: positions via posexplode, n-grams via
-    * window lead — pure built-ins, fully codegen'd.
+  /** Distinct word n-grams of one document as an array Column, computed
+    * positionally with array built-ins: gram i = tokens[i..i+n-1] joined
+    * by " ", per-doc dedupe via array_distinct INSIDE the row. Same
+    * (doc, gram) set as the former posexplode + window-lead + global
+    * distinct formulation, with zero exchanges (guide §2.4: the window
+    * exchange on doc_id and the distinct exchange both disappear — the
+    * dedupe scope was per-document all along, so no data ever needed to
+    * move for it).
     */
-  def shingles(docs: DataFrame, n: Int = 2): DataFrame = {
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val grams = (1 until n).foldLeft(
-      docs.select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
-        .withColumn("gram", col("w"))) { (df, i) =>
-      df.withColumn("gram", concat_ws(" ", col("gram"), lead(col("w"), i).over(w)))
+  private[functions] def gramArray(textCol: Column, n: Int): Column = {
+    val toks = split(textCol, " ")
+    if (n <= 1) array_distinct(toks)
+    else {
+      // zip the token array against its own j-shifted slices: every slice
+      // is an OUTER argument evaluated once per row. (Referencing `toks`
+      // inside the lambda — e.g. element_at(toks, i+j) — re-evaluates the
+      // whole split per element: O(tokens²) per document.)
+      val len = greatest(size(toks) - (n - 1), lit(0))
+      var grams: Column = slice(toks, lit(1), len)
+      for (j <- 1 until n)
+        grams = zip_with(grams, slice(toks, lit(j + 1), len),
+          (g, t) => concat_ws(" ", g, t))
+      array_distinct(grams)
     }
-    grams.filter(size(split(col("gram"), " ")) === n)
-      .select(col("doc_id"), col("gram")).distinct()
   }
+
+  /** Word-shingle set per document — explode of [[gramArray]]: a pure
+    * projection, no shuffle (explode drops empty arrays, so docs with no
+    * full n-gram are absent exactly as before).
+    */
+  def shingles(docs: DataFrame, n: Int = 2): DataFrame =
+    spread(docs).select(col("doc_id"), explode(gramArray(col("text"), n)).as("gram"))
 
   /** Candidate pairs with n-gram Jaccard ≥ threshold, computed with an
     * integer-only test (3·common ≥ |A|+|B| ⟺ J ≥ 0.5 for the default) to
@@ -49,8 +81,13 @@ object Dedup {
     * full shingle set never shuffles just to learn its df.
     */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 2, maxShingleFreq: Int = 1000): DataFrame = {
-    val sh = shingles(docs, n)
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val d = spread(docs)
+    val sh = shingles(d, n)
+    // |shingle set| per doc is a property of the row alone: size of the
+    // distinct-gram array, no exchange (was a groupBy over every exploded
+    // shingle row). cast keeps the former count(*) long type.
+    val sizes = d.select(col("doc_id"),
+      size(gramArray(col("text"), n)).cast("long").as("sz"))
     val rare =
       if (maxShingleFreq == Int.MaxValue) sh // exact twin: nothing to cap
       else {
@@ -74,15 +111,23 @@ object Dedup {
     * over shingle hashes is a groupBy aggregate (map-side combinable).
     */
   def minhashSignatures(docs: DataFrame, k: Int = 32, shingleN: Int = 2): DataFrame = {
-    val sh = shingles(docs, shingleN)
     // permutation i = xxhash64("i:" + gram) — ANSI-safe (no wrapping
     // arithmetic), independent hash families by seed prefix; the
     // single-string form is reproducible by the plain-Scala oracle
-    // implementation (graft.gen.RefImpl.minhashSig)
-    val aggs = (0 until k).map(i =>
-      min(xxhash64(concat(lit(s"$i:"), col("gram")))).as(s"m$i"))
-    sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
-      .select(col("doc_id"), array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
+    // implementation (graft.gen.RefImpl.minhashSig).
+    //
+    // The signature is a per-document property, so the whole operator is
+    // a PROJECTION over the gram array — the former explode + groupBy(16
+    // min-aggregates) exchange is gone (guide §2.4); min over the same
+    // distinct-gram set → identical values. Docs with no full n-gram had
+    // no shingle rows and were absent from the groupBy — the size>0
+    // filter preserves that.
+    spread(docs).select(col("doc_id"), gramArray(col("text"), shingleN).as("g"))
+      .filter(size(col("g")) > 0)
+      .select(col("doc_id"),
+        array((0 until k).map(i =>
+          array_min(transform(col("g"), g =>
+            xxhash64(concat(lit(s"$i:"), g))))): _*).as("sig"))
   }
 
   /** MinHash-LSH candidate pairs: band the signature, bucket-join on
@@ -109,13 +154,18 @@ object Dedup {
     * term frequency; near-dups have small Hamming distance.
     */
   def simhash(docs: DataFrame): DataFrame = {
+    // per bit: sum over token OCCURRENCES of (bit ? +1 : -1) — identical
+    // integer totals to the former per-(doc, w) tf pre-aggregation
+    // (Σ_w tf_w·s_w ≡ Σ_occurrences s_w), with one exchange instead of
+    // two: the (doc_id, w) groupBy existed only to count tf, which the
+    // occurrence-level sum already folds in. Partial aggregation still
+    // collapses each doc to one 64-column row per map partition before
+    // the exchange.
     val tokens = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
       .withColumn("h", xxhash64(col("w")))
-    // per bit: sum(tf * (bit ? 1 : -1)); sign → bit of the simhash
     val bitSums = (0 until 64).map { b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, col("tf"))
-        .otherwise(-col("tf"))).as(s"b$b")
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1L)
+        .otherwise(-1L)).as(s"b$b")
     }
     val sums = tokens.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
     val hash = (0 until 64).map(b =>
@@ -150,11 +200,16 @@ object Dedup {
     * each w-token window, distinct mins = fingerprint set.
     */
   def fingerprints(docs: DataFrame, window: Int = 4): DataFrame = {
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-      .rowsBetween(0, window - 1)
-    docs.select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
-      .withColumn("h", xxhash64(col("tok")))
-      .withColumn("fp", min(col("h")).over(w))
-      .select(col("doc_id"), col("fp")).distinct()
+    // fp at position i = min token hash over [i, i+window) — a property
+    // of the row's own token sequence, so it is a projection over the
+    // hash array (slice near the end shrinks exactly like the former
+    // rowsBetween frame) with array_distinct replacing the global
+    // distinct: zero exchanges where the window + distinct formulation
+    // had two (guide §2.4). Values identical.
+    val hs = transform(split(col("text"), " "), t => xxhash64(t))
+    docs.select(col("doc_id"), hs.as("hs"))
+      .select(col("doc_id"), explode(array_distinct(
+        transform(col("hs"), (h, i) =>
+          array_min(slice(col("hs"), i + 1, lit(window)))))).as("fp"))
   }
 }

@@ -65,23 +65,32 @@ object Similarity {
   def ivfTopK(embeddings: DataFrame, queries: DataFrame, k: Int,
               nCells: Int = 16, nProbe: Int = 4, lloydIters: Int = 2): DataFrame = {
     // cosine of a vector column against a constant centroid, arithmetic
-    // order mirrored exactly by RefImpl.cosineD
-    def cosineTo(vecCol: Column, c: Array[Double]): Column = {
+    // order mirrored exactly by RefImpl.cosineD. The centroid rides the
+    // plan as ONE array literal (typedlit), not dim CreateArray children —
+    // the nCells×dim literal forest made analysis/optimization the
+    // dominant cost of the whole operator — and |vec| is computed once per
+    // row via a shared column instead of once per centroid (same value,
+    // same division, bit-identical sims).
+    def cosineTo(vecCol: Column, vnorm: Column, c: Array[Double]): Column = {
       val normC = math.sqrt(c.map(x => x * x).sum)
       val dotC = aggregate(
-        zip_with(vecCol, array(c.map(lit(_)): _*), (x, y) => x * y),
+        zip_with(vecCol, typedlit(c), (x, y) => x * y),
         lit(0.0d), (acc, v) => acc + v)
-      dotC / (norm(vecCol) * lit(normC))
+      dotC / (vnorm * lit(normC))
     }
     // argmax over struct(sim, -cell): equal sims keep the smaller cell
-    def cellStructs(vecCol: Column, cs: Array[Array[Double]]) =
+    def cellStructs(vecCol: Column, vnorm: Column, cs: Array[Array[Double]]) =
       cs.zipWithIndex.map { case (c, i) =>
-        struct(cosineTo(vecCol, c).as("sim"), lit(-i).as("negcell")) }
-    def nearestExpr(vecCol: Column, cs: Array[Array[Double]]): Column =
-      array_max(array(cellStructs(vecCol, cs): _*)).getField("negcell") * -1
+        struct(cosineTo(vecCol, vnorm, c).as("sim"), lit(-i).as("negcell")) }
+    def nearestExpr(vecCol: Column, vnorm: Column, cs: Array[Array[Double]]): Column =
+      array_max(array(cellStructs(vecCol, vnorm, cs): _*)).getField("negcell") * -1
+
+    // (measured: a Dedup.spread parallelism floor here LOST ~0.8 s — the
+    // per-iteration jobs are too small to amortize the extra exchange)
+    val embs = embeddings
 
     // seeded deterministic init sample
-    var centroids: Array[Array[Double]] = embeddings
+    var centroids: Array[Array[Double]] = embs
       .select(col("vec_id"), col("embedding"))
       .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(nCells)
       .collect().map(_.getSeq[Float](1).toArray.map(_.toDouble))
@@ -89,8 +98,9 @@ object Similarity {
     for (_ <- 1 to lloydIters) {
       val qvec = transform(col("embedding"),
         x => round(x.cast("double") * 1000).cast("long"))
-      val rows = embeddings
-        .select(nearestExpr(col("embedding"), centroids).as("cell"), qvec.as("qv"))
+      val rows = embs
+        .withColumn("__vn", norm(col("embedding")))
+        .select(nearestExpr(col("embedding"), col("__vn"), centroids).as("cell"), qvec.as("qv"))
         .groupBy(col("cell"))
         .agg(count(lit(1)).as("n"),
           (0 until dim).map(d => sum(element_at(col("qv"), d + 1)).as(s"s$d")): _*)
@@ -104,14 +114,17 @@ object Similarity {
       centroids = next
     }
 
-    val cells = embeddings
-      .withColumn("cell", nearestExpr(col("embedding"), centroids))
-    val probeArr = sort_array(
-      array(cellStructs(col("q_emb"), centroids): _*), asc = false)
+    val cells = embs
+      .withColumn("__vn", norm(col("embedding")))
+      .withColumn("cell", nearestExpr(col("embedding"), col("__vn"), centroids))
+      .drop("__vn")
     val probes = queries
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      .withColumn("__qn", norm(col("q_emb")))
       .select(col("q_id"), col("q_emb"),
-        explode(slice(probeArr, 1, nProbe)).as("p"))
+        explode(slice(sort_array(
+          array(cellStructs(col("q_emb"), col("__qn"), centroids): _*),
+          asc = false), 1, nProbe)).as("p"))
       .select(col("q_id"), col("q_emb"), (col("p.negcell") * -1).as("cell"))
     val scored = cells.join(probes, Seq("cell"))
       .filter(col("vec_id") =!= col("q_id"))
@@ -136,8 +149,12 @@ object Similarity {
     */
   private def lshSignature(nBits: Int, dim: Int, bitOffset: Int): Column = {
     val sigBits = (0 until nBits).map { b =>
-      val weights = array((0 until dim).map(d =>
-        lit(graft.gen.RefImpl.lshWeight(bitOffset + b, d))): _*)
+      // one array literal per hyperplane (typedlit) instead of dim
+      // CreateArray literal children: the nBits×dim (×nTables in the
+      // near-dup caller, ×2 under its self-join) literal forest was pure
+      // analyzer/optimizer weight — runtime was already constant-folded
+      val weights = typedlit(Array.tabulate(dim)(d =>
+        graft.gen.RefImpl.lshWeight(bitOffset + b, d)))
       val proj = aggregate(
         zip_with(col("embedding"), weights, (x, w) => x * w),
         lit(0.0d), (acc, v) => acc + v)

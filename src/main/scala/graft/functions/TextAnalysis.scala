@@ -33,30 +33,41 @@ object TextAnalysis {
     * mean word length, alpha ratio — the classic web-text filters.
     */
   def qualityFeatures(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    val toks = split(lower(col(textCol)), "\\s+", -1)
+    // tokenization and the codepoint count are hoisted into their own
+    // columns so each runs ONCE per row: inlined, the split regex ran 5×
+    // and length(text) 6× per row (CollapseProject keeps multi-referenced
+    // non-cheap aliases in their own Project)
+    val toks = col("__toks")
+    val len = col("__len")
     docs
-      .withColumn("n_chars_m", length(col(textCol)))
+      .withColumn("__toks", split(lower(col(textCol)), "\\s+", -1))
+      .withColumn("__len", length(col(textCol)))
+      .withColumn("n_chars_m", len)
       .withColumn("n_tokens", size(toks))
       .withColumn("punct_ratio",
-        (length(col(textCol)) -
+        (len -
           length(regexp_replace(col(textCol), "[\\p{Punct}]", ""))).cast("double") /
-          greatest(length(col(textCol)), lit(1)))
+          greatest(len, lit(1)))
       .withColumn("stopword_ratio",
         stopHits(toks, enStops).cast("double") / greatest(size(toks), lit(1)))
       .withColumn("mean_word_len",
-        (length(col(textCol)) - size(toks) + 1).cast("double") /
+        (len - size(toks) + 1).cast("double") /
           greatest(size(toks), lit(1)))
       .withColumn("alpha_ratio",
         length(regexp_replace(col(textCol), "[^a-zA-Z]", "")).cast("double") /
-          greatest(length(col(textCol)), lit(1)))
+          greatest(len, lit(1)))
       .withColumn("quality_ok",
         col("n_tokens") >= 5 && col("punct_ratio") < 0.3 && col("alpha_ratio") > 0.5)
+      .drop("__toks", "__len")
   }
 
   /** N-gram-heuristic language ID over en/de/fr stopword hit counts. */
   def langId(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    val toks = split(lower(col(textCol)), "\\s+", -1)
+    // one tokenization per row (see qualityFeatures): inlined, the split
+    // regex ran once per language
+    val toks = col("__toks")
     docs
+      .withColumn("__toks", split(lower(col(textCol)), "\\s+", -1))
       .withColumn("en_hits", stopHits(toks, enStops))
       .withColumn("de_hits", stopHits(toks, deStops))
       .withColumn("fr_hits", stopHits(toks, frStops))
@@ -66,5 +77,6 @@ object TextAnalysis {
           .when(col("de_hits") >= col("fr_hits") && col("de_hits") > 0, "de")
           .when(col("fr_hits") > 0, "fr")
           .otherwise("unknown"))
+      .drop("__toks")
   }
 }

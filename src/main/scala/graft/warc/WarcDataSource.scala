@@ -1,6 +1,5 @@
 package graft.warc
 
-import java.util.zip.GZIPOutputStream
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.catalyst.InternalRow
@@ -128,7 +127,7 @@ private[warc] class WarcStreamingWriterFactory(base: WarcWriterFactory)
     extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
                             epochId: Long): DataWriter[InternalRow] =
-    new WarcDataWriter(base.copy(stamp = f"${base.stamp}-e$epochId%05d"), partitionId)
+    new WarcDataWriter(base.copy(stamp = f"${base.stamp}-e$epochId%05d"), partitionId, taskId)
 }
 
 /** Per-task result: file names written + counters (summed at commit). */
@@ -189,14 +188,22 @@ private[warc] case class WarcWriterFactory(dir: String, ord: Map[String, Int],
                                            stamp: String)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new WarcDataWriter(this, partitionId)
+    new WarcDataWriter(this, partitionId, taskId)
 }
 
 /** Streams rows into the current file; rotates when the file passes
   * `maxFileBytes` (checked between records, like gowarc's rotator — a
   * record never splits across files).
+  *
+  * Task-attempt safety: bytes stream into attempt-unique `*.t<taskId>.tmp`
+  * names and are renamed to the deterministic final names only in
+  * commit() — a retried or speculative attempt of the same partition can
+  * never clobber (or, via abort(), delete) the committed attempt's
+  * output, readers never see a half-written file (the `.warc.gz` listing
+  * filter skips tmp names), and streaming epoch replay still converges on
+  * the same final names.
   */
-private[warc] class WarcDataWriter(f: WarcWriterFactory, partitionId: Int)
+private[warc] class WarcDataWriter(f: WarcWriterFactory, partitionId: Int, taskId: Long)
     extends DataWriter[InternalRow] {
   private val files = scala.collection.mutable.ArrayBuffer.empty[String]
   private var out: java.io.FileOutputStream = null
@@ -214,19 +221,49 @@ private[warc] class WarcDataWriter(f: WarcWriterFactory, partitionId: Int)
   private val iRefTo = f.ord("refers_to")
   private val iRefTs = f.ord("refers_ts")
 
+  // ONE deflater + scratch buffer for the whole task, reset per gzip
+  // member: a GZIPOutputStream per record allocated a fresh 64 KiB buffer
+  // and a native zlib Deflater each time and (with finish() but no
+  // close()) never released the native state until GC — unbounded native
+  // memory over a task writing millions of records. reset() restores the
+  // exact fresh-deflater state, so member bytes are identical.
+  private val deflater = new java.util.zip.Deflater(
+    java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+  private val crc = new java.util.zip.CRC32
+  private val dbuf = new Array[Byte](64 * 1024)
+  // the static member header GZIPOutputStream wrote: magic, CM=deflate,
+  // no flags, MTIME 0, XFL 0, OS 0
+  private val gzHeader = Array[Byte](0x1f, 0x8b.toByte, 8, 0, 0, 0, 0, 0, 0, 0)
+
   private def writeMember(record: Array[Byte]): Unit = {
-    val gz = new GZIPOutputStream(out, 64 * 1024)
-    gz.write(record)
-    gz.finish() // close the gzip member, keep the file stream open
+    out.write(gzHeader)
+    deflater.reset()
+    deflater.setInput(record)
+    deflater.finish()
+    while (!deflater.finished()) {
+      val n = deflater.deflate(dbuf)
+      if (n > 0) out.write(dbuf, 0, n)
+    }
+    crc.reset()
+    crc.update(record)
+    val v = crc.getValue
+    val sz = record.length
+    out.write(Array[Byte](
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte,
+      (sz & 0xff).toByte, ((sz >> 8) & 0xff).toByte,
+      ((sz >> 16) & 0xff).toByte, ((sz >> 24) & 0xff).toByte))
     out.flush()
   }
+
+  private def tmpOf(name: String): String = s"$name.t$taskId.tmp"
 
   private def rotate(micros: Long): Unit = {
     if (out != null) { out.close(); out = null }
     val name = f"${f.prefix}-${f.stamp}-$partitionId%05d-$seq%05d.warc.gz"
     seq += 1
     files += name
-    val path = java.nio.file.Paths.get(f.dir, name)
+    val path = java.nio.file.Paths.get(f.dir, tmpOf(name))
     out = new java.io.FileOutputStream(path.toFile)
     fileBytes = 0L
     writeMember(Warc.warcinfoRecord(name, micros, f.software, f.operator))
@@ -256,6 +293,16 @@ private[warc] class WarcDataWriter(f: WarcWriterFactory, partitionId: Int)
 
   override def commit(): WriterCommitMessage = {
     if (out != null) { out.close(); out = null }
+    // publish: atomically move each attempt-unique tmp onto its final
+    // deterministic name (REPLACE so a re-committed streaming epoch
+    // converges on the latest bytes, as before)
+    files.foreach { n =>
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(f.dir, tmpOf(n)), java.nio.file.Paths.get(f.dir, n),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+    deflater.end()
     bytesWritten = files.map(n =>
       java.nio.file.Paths.get(f.dir, n).toFile.length()).sum
     WarcCommit(files.toSeq, nResponse, nRevisit, bytesWritten, dedupedBytes)
@@ -263,7 +310,10 @@ private[warc] class WarcDataWriter(f: WarcWriterFactory, partitionId: Int)
 
   override def abort(): Unit = {
     if (out != null) { out.close(); out = null }
-    files.foreach(n => java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(f.dir, n)))
+    deflater.end()
+    // only this attempt's tmp files — never a committed attempt's output
+    files.foreach(n =>
+      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(f.dir, tmpOf(n))))
   }
 
   override def close(): Unit = if (out != null) { out.close(); out = null }

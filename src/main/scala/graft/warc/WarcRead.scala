@@ -134,12 +134,19 @@ private[warc] class WarcPartitionReader(path: String, required: StructType)
           if (k > 0) headers(line.substring(0, k)) = line.substring(k + 2)
           line = readLine()
         }
-        val len = headers.getOrElse("Content-Length", "0").toInt
+        // Long, not Int: external/gowarc archives may carry >= 2 GiB
+        // blocks (rotation is checked between records) — a toInt would
+        // overflow negative and corrupt the scan
+        val len = headers.getOrElse("Content-Length", "0").toLong
         val warcType = headers.getOrElse("WARC-Type", "")
         val isPage = warcType == "response" || warcType == "revisit"
         val block: Array[Byte] =
-          if (isPage && needPayload) readFully(len)
-          else { skipFully(len.toLong); null }
+          if (isPage && needPayload) {
+            if (len > Int.MaxValue - 16)
+              throw new java.io.IOException(
+                s"WARC record too large to materialize ($len bytes, $path)")
+            readFully(len.toInt)
+          } else { skipFully(len); null }
         skipFully(4L) // record boundary CRLF CRLF
         if (isPage) {
           row = buildRow(headers, warcType, block)

@@ -457,8 +457,14 @@ object Wave {
       .withColumn("chost", $"c.host")
       .withColumn("canon_reject", $"c.reject")
       .withColumn("parent_css_jump", when(!isClaim, $"css_jump"))
+      // ONE pathOf per candidate row: the F6 check and the robots check
+      // both need the path, and as separate when-branch arguments the
+      // ScalaUDF ran twice on every asset row (CollapseProject never
+      // inlines a non-cheap ScalaUDF alias, so the column is evaluated
+      // exactly once)
+      .withColumn("cpath", when(!isClaim, Udfs.pathOf($"href")))
     val fpAsset = $"link_kind".isin("asset", "atimport") &&
-      Udfs.pathOf($"href").isin("", "/") // F6 false-positive asset
+      $"cpath".isin("", "/") // F6 false-positive asset
     val cssOver = $"link_kind" === "atimport" &&
       ($"parent_css_jump" + 1) > conf.maxCSSJump
     val candDisp =
@@ -466,7 +472,7 @@ object Wave {
         .when(!filterUdf($"href", $"chost"), "EXCLUDED")
         .when(fpAsset, "EXCLUDED_FP_ASSET")
         .when(cssOver, "EXCLUDED_CSS_JUMP")
-        .when(!robotsUdf($"chost", Udfs.pathOf($"href")), "EXCLUDED_ROBOTS")
+        .when(!robotsUdf($"chost", $"cpath"), "EXCLUDED_ROBOTS")
         .otherwise("PASS")
 
     // final unified projection: claimed columns null on cand rows and vice
