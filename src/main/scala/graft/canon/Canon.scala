@@ -44,6 +44,24 @@ object Canon {
 
   private val schemeRe = "^[A-Za-z][A-Za-z0-9+.\\-]*:".r
 
+  /** Hand-rolled `schemeRe` match (a regex engine run per candidate URL
+    * was ~1% of wave CPU): letter, then [A-Za-z0-9+.-]*, then ':'.
+    */
+  private def hasSchemePrefix(s: String): Boolean = {
+    if (s.isEmpty) return false
+    val c0 = s.charAt(0)
+    if (!((c0 >= 'A' && c0 <= 'Z') || (c0 >= 'a' && c0 <= 'z'))) return false
+    var i = 1
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == ':') return true
+      if (!((c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z') ||
+            (c >= '0' && c <= '9') || c == '+' || c == '.' || c == '-')) return false
+      i += 1
+    }
+    false
+  }
+
   /** Last (parent, conf) → canonical base, per thread. In the wave the
     * candidate rows of one page are contiguous after the posexplode, so
     * every relative link of a page after the first hits this cache instead
@@ -80,7 +98,7 @@ object Canon {
     if (raw.isEmpty) return Left(ParseError)
     if (raw.startsWith("://")) return Left(ParseError)
 
-    val hasScheme = schemeRe.findFirstIn(raw).isDefined
+    val hasScheme = hasSchemePrefix(raw)
 
     val partsE: Either[Reject, Parts] =
       if (hasScheme) parseAbsolute(raw)
@@ -154,15 +172,29 @@ object Canon {
   }
 
   private def stripWhatwg(s: String): String = {
+    // fast path: nothing to remove and nothing to trim (the overwhelming
+    // majority of candidate URLs) — the filterNot + double reverse built
+    // five intermediate strings per call on the wave's hottest path
+    val n = s.length
+    var clean = n == 0 || (s.charAt(0) > ' ' && s.charAt(n - 1) > ' ')
+    var i = 0
+    while (clean && i < n) {
+      val c = s.charAt(i)
+      if (c == '\t' || c == '\n' || c == '\r') clean = false
+      i += 1
+    }
+    if (clean) return s
     val t = s.filterNot(c => c == '\t' || c == '\n' || c == '\r')
     t.dropWhile(_ <= ' ').reverse.dropWhile(_ <= ' ').reverse
   }
+
+  private val specialSchemes = Set("http", "https", "ws", "wss", "ftp", "file")
 
   private def parseAbsolute(raw: String): Either[Reject, Parts] = {
     val colon = raw.indexOf(':')
     val scheme = raw.substring(0, colon)
     var rest = raw.substring(colon + 1)
-    val special = Set("http", "https", "ws", "wss", "ftp", "file")
+    val special = specialSchemes
     if (!special.contains(scheme.toLowerCase) &&
         !rest.startsWith("//")) {
       // opaque non-special URL (mailto:, javascript:, data:) — carry the
@@ -178,7 +210,10 @@ object Canon {
     // authority ends at first / \ ? #
     var i = 0
     val n = afterSlashes.length
-    while (i < n && !"/\\?#".contains(afterSlashes.charAt(i))) i += 1
+    while (i < n && {
+      val c = afterSlashes.charAt(i)
+      c != '/' && c != '\\' && c != '?' && c != '#'
+    }) i += 1
     val auth = afterSlashes.substring(0, i)
     var tail = afterSlashes.substring(i)
     // fragment strip (SetHash(""): url_cgofree.go:57)
@@ -275,6 +310,9 @@ object Canon {
   /** RFC 3986 §5.2.4 remove_dot_segments, WHATWG-equivalent. */
   def removeDotSegments(pathIn: String): String = {
     val path = if (pathIn.startsWith("/")) pathIn else "/" + pathIn
+    // fast path: every dot segment (".", "..", and the %2e forms) contains
+    // "/." or "%2" — without either, split + rejoin is the identity
+    if (path.indexOf("/.") < 0 && path.indexOf("%2") < 0) return path
     val out = new scala.collection.mutable.ArrayBuffer[String]()
     val segs = path.split("/", -1)
     var i = 1 // skip leading ""
@@ -300,21 +338,33 @@ object Canon {
   /** WHATWG path percent-encode set: controls, space, `"<>`{}`, backtick,
     * and non-ASCII get encoded; existing escapes are preserved.
     */
+  private def pathByteSafe(b: Int): Boolean = {
+    val c = b.toChar
+    !(b <= 0x20 || b >= 0x7f || c == '"' || c == '<' || c == '>' || c == '`' ||
+      c == '{' || c == '}' || c == '^' || c == '|')
+  }
+
   def encodePath(path: String): String = {
+    // fast path: all chars are safe ASCII (no UTF-8 expansion, no escaping
+    // needed) — return the input untouched instead of re-building it
+    var i = 0
+    val n = path.length
+    while (i < n && { val c = path.charAt(i); c < 0x7f && pathByteSafe(c) }) i += 1
+    if (i == n) return path
     val sb = new StringBuilder(path.length)
     val bytes = path.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    var i = 0
+    i = 0
     while (i < bytes.length) {
       val b = bytes(i) & 0xff
-      val c = b.toChar
-      if (b <= 0x20 || b >= 0x7f || c == '"' || c == '<' || c == '>' || c == '`' ||
-          c == '{' || c == '}' || c == '^' || c == '|') {
-        sb.append('%').append(f"$b%02X")
-      } else sb.append(c)
+      if (pathByteSafe(b)) sb.append(b.toChar)
+      else sb.append('%').append(hexUpper(b))
       i += 1
     }
     sb.toString
   }
+
+  private val hexUpper: Array[String] =
+    Array.tabulate(256)(b => f"$b%02X")
 
   // ---------- query ----------
 
@@ -335,38 +385,59 @@ object Canon {
   }
 
   /** Go url.QueryEscape: keep [A-Za-z0-9-_.~], space→'+', else %XX. */
+  private def queryByteUnreserved(c: Char): Boolean =
+    (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') ||
+      c == '-' || c == '_' || c == '.' || c == '~'
+
   def queryEscape(s: String): String = {
+    // fast path: all-unreserved input escapes to itself
+    var i = 0
+    val n = s.length
+    while (i < n && queryByteUnreserved(s.charAt(i))) i += 1
+    if (i == n) return s
     val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val sb = new StringBuilder(bytes.length)
-    var i = 0
+    i = 0
     while (i < bytes.length) {
       val b = bytes(i) & 0xff
       val c = b.toChar
-      if ((c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') ||
-          c == '-' || c == '_' || c == '.' || c == '~') sb.append(c)
+      if (queryByteUnreserved(c)) sb.append(c)
       else if (c == ' ') sb.append('+')
-      else sb.append('%').append(f"$b%02X")
+      else sb.append('%').append(hexUpper(b))
       i += 1
     }
     sb.toString
   }
 
   def percentDecode(s: String, plusIsSpace: Boolean): String = {
+    // fast path: nothing to decode
+    if (s.indexOf('%') < 0 && (!plusIsSpace || s.indexOf('+') < 0)) return s
     val out = new java.io.ByteArrayOutputStream(s.length)
     var i = 0
     while (i < s.length) {
       val c = s.charAt(i)
       if (c == '%' && i + 2 < s.length && isHex(s.charAt(i + 1)) && isHex(s.charAt(i + 2))) {
-        out.write(Integer.parseInt(s.substring(i + 1, i + 3), 16))
+        out.write((hexVal(s.charAt(i + 1)) << 4) | hexVal(s.charAt(i + 2)))
         i += 3
       } else if (c == '+' && plusIsSpace) {
         out.write(' '); i += 1
+      } else if (c < 0x80) {
+        out.write(c); i += 1 // single-byte UTF-8, no per-char String round-trip
       } else {
         val bs = c.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
         out.write(bs, 0, bs.length); i += 1
       }
     }
     new String(out.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+  }
+
+  private def hexVal(c: Char): Int =
+    if (c <= '9') c - '0' else (c | 0x20) - 'a' + 10
+
+  private def countChar(s: String, c: Char): Int = {
+    var n = 0; var i = 0
+    while (i < s.length) { if (s.charAt(i) == c) n += 1; i += 1 }
+    n
   }
 
   private def isHex(c: Char): Boolean =
@@ -381,6 +452,12 @@ object Canon {
     val maxRep = if (conf.maxSegmentRepetition <= 0) 3 else conf.maxSegmentRepetition
     val threshold =
       if (conf.maxSegmentRepetitionThreshold <= 0) 2 else conf.maxSegmentRepetitionThreshold
+    // fast pre-check without any allocation: a repeated path segment needs
+    // > maxRep non-empty segments (≤ '/'-count + 1), a repeated query pair
+    // needs > maxRep pairs (≤ '&'-count + 1) — short URLs (almost all of
+    // them) can never trip the trap, so skip the split + hash maps
+    if (countChar(path, '/') < maxRep && countChar(query, '&') < maxRep)
+      return false
     val segs = path.split("/", -1)
     val counts = scala.collection.mutable.HashMap.empty[String, Int]
     var nonEmpty = 0

@@ -23,8 +23,26 @@ object HtmlScanner {
       text: String, // raw text content for script/style, "" otherwise
       outer: String // full outer HTML for script tags, "" otherwise
   ) {
-    def attr(k: String): Option[String] = attrs.collectFirst { case (`k`, v) => v }
-    def attrOr(k: String, d: String): String = attr(k).getOrElse(d)
+    def attr(k: String): Option[String] = {
+      // plain list walk — collectFirst allocated a partial function per
+      // call on a per-tag hot path
+      var rest = attrs
+      while (rest.nonEmpty) {
+        val h = rest.head
+        if (h._1 == k) return Some(h._2)
+        rest = rest.tail
+      }
+      None
+    }
+    def attrOr(k: String, d: String): String = {
+      var rest = attrs
+      while (rest.nonEmpty) {
+        val h = rest.head
+        if (h._1 == k) return h._2
+        rest = rest.tail
+      }
+      d
+    }
   }
 
   private val rawTextTags = Set("script", "style", "textarea", "title")

@@ -74,24 +74,36 @@ object TextLinks {
 
   def extract(body: String, strict: Boolean = false): Seq[String] = {
     val raw = ArrayBuffer.empty[String]
-    var i = 0
     val n = body.length
-    while (i < n) {
-      while (i < n && Character.isWhitespace(body.charAt(i))) i += 1
-      var j = i
-      while (j < n && !Character.isWhitespace(body.charAt(j))) j += 1
-      if (j > i) {
-        if (!strict) {
-          // allocation guard: a 16 KB body is ~2k tokens and almost none
-          // contain "://" — check in place on the body before paying the
-          // substring + regex (identical results, ~half the scan cost)
-          if (j - i >= minLinkLength && containsSchemeSep(body, i, j))
-            Util.LinkRegex.findAllIn(body.substring(i, j)).foreach(raw += _)
-        } else {
-          Util.LinkRegexStrict.findAllIn(body.substring(i, j)).foreach(raw += _)
-        }
+    if (!strict) {
+      // loose mode processes exactly the whitespace-delimited tokens that
+      // contain "://" — so drive the scan by indexOf("://") (an intrinsic
+      // substring search) and expand each hit to its token boundaries,
+      // instead of walking every character of every token: one fast pass
+      // over link-free prose (which is most of every body). Token order,
+      // boundaries and the min-length gate are unchanged, and skipping to
+      // the token's end means a token with several "://" is still
+      // processed exactly once — identical output to the token walk.
+      var sep = body.indexOf("://")
+      while (sep >= 0) {
+        var i = sep
+        while (i > 0 && !Character.isWhitespace(body.charAt(i - 1))) i -= 1
+        var j = sep + 3
+        while (j < n && !Character.isWhitespace(body.charAt(j))) j += 1
+        if (j - i >= minLinkLength)
+          Util.LinkRegex.findAllIn(body.substring(i, j)).foreach(raw += _)
+        sep = if (j < n) body.indexOf("://", j) else -1
       }
-      i = j
+    } else {
+      var i = 0
+      while (i < n) {
+        while (i < n && Character.isWhitespace(body.charAt(i))) i += 1
+        var j = i
+        while (j < n && !Character.isWhitespace(body.charAt(j))) j += 1
+        if (j > i)
+          Util.LinkRegexStrict.findAllIn(body.substring(i, j)).foreach(raw += _)
+        i = j
+      }
     }
     Util.dedupe(raw.toSeq)
   }

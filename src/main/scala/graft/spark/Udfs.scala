@@ -98,11 +98,22 @@ object Udfs {
         case None => true
         case Some(hostRules) =>
           val p = if (path == null) "/" else path
-          val matching = hostRules.filter { case (prefix, _) => p.startsWith(prefix) }
-          if (matching.isEmpty) true
           // longest prefix wins; on equal length allow beats disallow
-          // (standard robots longest-match tie-break)
-          else matching.maxBy { case (prefix, allow) => (prefix.length, allow) }._2
+          // (standard robots longest-match tie-break). Single pass — the
+          // former filter + maxBy built two collections per candidate row.
+          var bestLen = -1
+          var bestAllow = true
+          val it = hostRules.iterator
+          while (it.hasNext) {
+            val (prefix, allow) = it.next()
+            if (p.startsWith(prefix) &&
+                (prefix.length > bestLen ||
+                  (prefix.length == bestLen && allow && !bestAllow))) {
+              bestLen = prefix.length
+              bestAllow = allow
+            }
+          }
+          bestLen < 0 || bestAllow
       }
     })
 
