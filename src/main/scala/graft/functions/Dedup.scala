@@ -20,6 +20,7 @@ object Dedup {
     * rows out once; at real scale this is a no-op.
     */
   private[graft] def spread(docs: DataFrame): DataFrame = {
+    if (docs.isStreaming) return docs // .rdd is undefined on streaming DFs
     val p = docs.sparkSession.sparkContext.defaultParallelism
     if (docs.rdd.getNumPartitions < p) docs.repartition(p) else docs
   }
