@@ -34,30 +34,24 @@ object Dedup {
       .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"))
 
   /** Distinct word n-grams of one document as an array Column, computed
-    * positionally with array built-ins: gram i = tokens[i..i+n-1] joined
-    * by " ", per-doc dedupe via array_distinct INSIDE the row. Same
-    * (doc, gram) set as the former posexplode + window-lead + global
-    * distinct formulation, with zero exchanges (guide §2.4: the window
-    * exchange on doc_id and the distinct exchange both disappear — the
-    * dedupe scope was per-document all along, so no data ever needed to
-    * move for it).
+    * in-row: gram i = tokens[i..i+n-1] joined by " ", per-doc dedupe
+    * keeping first occurrence. Same (doc, gram) set as the former
+    * posexplode + window-lead + global distinct formulation, with zero
+    * exchanges (guide §2.4: the window exchange on doc_id and the
+    * distinct exchange both disappear — the dedupe scope was
+    * per-document all along, so no data ever needed to move for it).
+    *
+    * Native codegen expression (graft.spark.GramArray): the intermediate
+    * array-built-in form (zip_with of the token array against its own
+    * shifted slices + concat_ws + array_distinct) computed the identical
+    * set, but higher-order functions are CodegenFallback — an
+    * interpreted expression tree per token — which made gram building
+    * the dominant per-row cost of the whole dedup family once the
+    * shuffles were gone. Value parity pinned in ShingleOpsSpec against
+    * the HOF form verbatim.
     */
-  private[functions] def gramArray(textCol: Column, n: Int): Column = {
-    val toks = split(textCol, " ")
-    if (n <= 1) array_distinct(toks)
-    else {
-      // zip the token array against its own j-shifted slices: every slice
-      // is an OUTER argument evaluated once per row. (Referencing `toks`
-      // inside the lambda — e.g. element_at(toks, i+j) — re-evaluates the
-      // whole split per element: O(tokens²) per document.)
-      val len = greatest(size(toks) - (n - 1), lit(0))
-      var grams: Column = slice(toks, lit(1), len)
-      for (j <- 1 until n)
-        grams = zip_with(grams, slice(toks, lit(j + 1), len),
-          (g, t) => concat_ws(" ", g, t))
-      array_distinct(grams)
-    }
-  }
+  private[functions] def gramArray(textCol: Column, n: Int): Column =
+    graft.spark.ShingleOps.gramArray(textCol, n)
 
   /** Word-shingle set per document — explode of [[gramArray]]: a pure
     * projection, no shuffle (explode drops empty arrays, so docs with no
@@ -122,13 +116,14 @@ object Dedup {
     // min-aggregates) exchange is gone (guide §2.4); min over the same
     // distinct-gram set → identical values. Docs with no full n-gram had
     // no shingle rows and were absent from the groupBy — the size>0
-    // filter preserves that.
+    // filter preserves that. The k min-scans are one native codegen pass
+    // (graft.spark.MinhashSig) hashing the exact "i:"++gram bytes the
+    // former k× array_min(transform(g, xxhash64(concat(...)))) chain
+    // hashed — that chain was k interpreted per-element walks per row.
     spread(docs).select(col("doc_id"), gramArray(col("text"), shingleN).as("g"))
       .filter(size(col("g")) > 0)
       .select(col("doc_id"),
-        array((0 until k).map(i =>
-          array_min(transform(col("g"), g =>
-            xxhash64(concat(lit(s"$i:"), g))))): _*).as("sig"))
+        graft.spark.ShingleOps.minhashSig(col("g"), k).as("sig"))
   }
 
   /** MinHash-LSH candidate pairs: band the signature, bucket-join on
@@ -202,15 +197,15 @@ object Dedup {
     */
   def fingerprints(docs: DataFrame, window: Int = 4): DataFrame = {
     // fp at position i = min token hash over [i, i+window) — a property
-    // of the row's own token sequence, so it is a projection over the
-    // hash array (slice near the end shrinks exactly like the former
-    // rowsBetween frame) with array_distinct replacing the global
-    // distinct: zero exchanges where the window + distinct formulation
-    // had two (guide §2.4). Values identical.
-    val hs = transform(split(col("text"), " "), t => xxhash64(t))
-    docs.select(col("doc_id"), hs.as("hs"))
-      .select(col("doc_id"), explode(array_distinct(
-        transform(col("hs"), (h, i) =>
-          array_min(slice(col("hs"), i + 1, lit(window)))))).as("fp"))
+    // of the row's own token sequence, so it is a projection (short tail
+    // windows shrink exactly like the former rowsBetween frame / slice)
+    // with first-occurrence dedupe replacing the global distinct: zero
+    // exchanges where the window + distinct formulation had two (guide
+    // §2.4). The hash + rolling-min + dedupe is one native codegen pass
+    // (graft.spark.FingerprintSet) — the intermediate transform/
+    // array_min(slice)/array_distinct chain recomputed an interpreted
+    // min-scan per token. Values identical (ShingleOpsSpec pins parity).
+    docs.select(col("doc_id"),
+      explode(graft.spark.ShingleOps.fingerprintSet(col("text"), window)).as("fp"))
   }
 }

@@ -5,30 +5,41 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 /** Approximate-nearest-neighbor search over an embedding column
-  * (array<float>), Spark-first: the dot product is
-  * aggregate(zip_with(...)) — pure built-ins inside whole-stage codegen,
-  * no UDF.
+  * (array<float>), Spark-first: the dot/norm inner loops are native
+  * codegen expressions (graft.spark.VectorOps) with the exact arithmetic
+  * of their former aggregate(zip_with(...)) built-in formulations — the
+  * higher-order functions are CodegenFallback (interpreted per element),
+  * which made the vector math the dominant per-row cost. No UDFs.
   */
 object Similarity {
 
-  /** Exact dot product of two vector columns. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+  /** Exact dot product of two vector columns. Native codegen expression
+    * (graft.spark.DotCols) replacing the former
+    * aggregate(zip_with(a, b, x*y), 0.0, +): higher-order functions are
+    * CodegenFallback — an interpreted expression tree evaluated per
+    * ELEMENT — so the inner loop of every cosine ran boxed. Bit-identical
+    * totals: same float multiply, same left-to-right double accumulation,
+    * same null/length semantics (VectorOps scaladoc).
+    */
+  def dot(a: Column, b: Column): Column = graft.spark.VectorOps.dotCols(a, b)
 
-  def norm(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x * x), lit(0.0d), (acc, v) => acc + v))
+  /** sqrt of the sum of squares — SumSq is the native-codegen twin of
+    * aggregate(transform(a, x*x), 0.0, +), same float square + double
+    * accumulate.
+    */
+  def norm(a: Column): Column = sqrt(graft.spark.VectorOps.sumSq(a))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
   /** Integer-quantized dot product (scale ×1000, round) — bit-exact across
-    * engines, used by the oracle-checked query.
+    * engines, used by the oracle-checked query. Native codegen expression
+    * replicating the former
+    * aggregate(zip_with(a, b, round(x*1000).cast(long) * round(y*1000)
+    * .cast(long)), 0L, +) verbatim, including Spark Round's BigDecimal
+    * HALF_UP semantics (graft.spark.VectorOps.quantDotF).
     */
   def quantizedDot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) =>
-        round(x.cast("double") * 1000).cast("long") *
-          round(y.cast("double") * 1000).cast("long")),
-      lit(0L), (acc, v) => acc + v)
+    graft.spark.VectorOps.quantDot(a, b)
 
   /** Brute-force top-k cosine neighbors for each query vector — the
     * baseline: cross join (broadcast queries), window rank.
@@ -73,10 +84,18 @@ object Similarity {
     // same division, bit-identical sims).
     def cosineTo(vecCol: Column, vnorm: Column, c: Array[Double]): Column = {
       val normC = math.sqrt(c.map(x => x * x).sum)
-      val dotC = aggregate(
-        zip_with(vecCol, typedlit(c), (x, y) => x * y),
-        lit(0.0d), (acc, v) => acc + v)
-      dotC / (vnorm * lit(normC))
+      // native codegen dot against the constant centroid (double multiply
+      // after the float→double cast, left-to-right accumulation — exactly
+      // the former aggregate(zip_with(vec, typedlit(c), x*y), 0.0, +),
+      // which as a higher-order function evaluated an interpreted tree
+      // per element). The centroid components AND |c| both ride the
+      // codegen references array (DotConst weights / DoubleParam), never
+      // the source text: a primitive lit(normC) was inlined into the
+      // generated Java, so every Lloyd iteration's freshly-trained norms
+      // made the assignment pipeline textually new and Janino recompiled
+      // it per iteration. Same values, same division → bit-identical sims.
+      graft.spark.VectorOps.dotConst(vecCol, c) /
+        (vnorm * graft.spark.DoubleParam.col(normC))
     }
     // argmax over struct(sim, -cell): equal sims keep the smaller cell
     def cellStructs(vecCol: Column, vnorm: Column, cs: Array[Array[Double]]) =
@@ -149,15 +168,16 @@ object Similarity {
     */
   private def lshSignature(nBits: Int, dim: Int, bitOffset: Int): Column = {
     val sigBits = (0 until nBits).map { b =>
-      // one array literal per hyperplane (typedlit) instead of dim
-      // CreateArray literal children: the nBits×dim (×nTables in the
+      // one references-array double[] per hyperplane (DotConst) instead of
+      // dim CreateArray literal children: the nBits×dim (×nTables in the
       // near-dup caller, ×2 under its self-join) literal forest was pure
-      // analyzer/optimizer weight — runtime was already constant-folded
-      val weights = typedlit(Array.tabulate(dim)(d =>
-        graft.gen.RefImpl.lshWeight(bitOffset + b, d)))
-      val proj = aggregate(
-        zip_with(col("embedding"), weights, (x, w) => x * w),
-        lit(0.0d), (acc, v) => acc + v)
+      // analyzer/optimizer weight — and the former zip_with/aggregate
+      // projection was a CodegenFallback interpreted per element; the
+      // native expression runs the identical double multiply-accumulate
+      // as a primitive loop in generated code (bit-identical projections)
+      val weights = Array.tabulate(dim)(d =>
+        graft.gen.RefImpl.lshWeight(bitOffset + b, d))
+      val proj = graft.spark.VectorOps.dotConst(col("embedding"), weights)
       when(proj > 0, shiftleft(lit(1L), b)).otherwise(0L)
     }
     sigBits.reduce((a, b) => a.bitwiseOR(b))
