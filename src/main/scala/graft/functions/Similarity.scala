@@ -115,8 +115,10 @@ object Similarity {
       .collect().map(_.getSeq[Float](1).toArray.map(_.toDouble))
     val dim = centroids.head.length
     for (_ <- 1 to lloydIters) {
-      val qvec = transform(col("embedding"),
-        x => round(x.cast("double") * 1000).cast("long"))
+      // native ×1000 HALF_UP quantization — the former transform(embedding,
+      // x => round(x*1000).cast(long)) ran an interpreted round per
+      // element per Lloyd iteration (identical BigDecimal rounding)
+      val qvec = graft.spark.QuantizeVec.col(col("embedding"))
       val rows = embs
         .withColumn("__vn", norm(col("embedding")))
         .select(nearestExpr(col("embedding"), col("__vn"), centroids).as("cell"), qvec.as("qv"))

@@ -12,8 +12,13 @@ object TextAnalysis {
   private val deStops = Seq("der", "die", "das", "und", "ist", "nicht", "von", "mit")
   private val frStops = Seq("le", "la", "les", "et", "est", "pas", "des", "une")
 
+  // native single-pass set-membership count: the former
+  // size(filter(tokens, t => s1===t || … || s8===t)) chain was a
+  // CodegenFallback higher-order function — an interpreted 8-comparison
+  // tree per token, ×3 languages in langId. Identical counts (byte-equal
+  // string comparison, null tokens dropped by both forms).
   private def stopHits(tokens: Column, stops: Seq[String]): Column =
-    size(filter(tokens, t => stops.map(s => t === s).reduce(_ || _)))
+    graft.spark.StopHits.col(tokens, stops)
 
   /** Whitespace tokens + a BPE-ish subword count (runs of letters, digits,
     * or single punctuation — a cheap proxy for BPE token counts).

@@ -414,15 +414,21 @@ object Wave {
     //      facebook embed], then the candidate half canonicalizes (F1-F3)
     //      and takes its disposition (F4-F9 + robots) in-flight. No
     //      block-store cache sits between extraction and the log write ----
-    val childT = "array<struct<raw_link:string,link_kind:string>>"
+    // child struct keeps the extractor's own field names (link, kind) so
+    // the extracted array concatenates as-is: the former rename to
+    // (raw_link, link_kind) was a per-link `transform` — a CodegenFallback
+    // higher-order function, i.e. an interpreted struct rebuild per
+    // candidate on every fetched row — bought nothing but field names.
+    // The synthesized children below adopt (link, kind) instead, and the
+    // post-explode projection aliases to raw_link/link_kind unchanged.
+    val childT = "array<struct<link:string,kind:string>>"
     val emptyChildren = array().cast(childT)
-    val linkPairs = transform($"links", l =>
-      struct(l.getField("link").as("raw_link"), l.getField("kind").as("link_kind")))
+    val linkPairs = $"links"
     val redirectChild = when( // E16 (synthesized redirect child)
       $"disposition" === "REDIRECT" && $"location".isNotNull &&
         length($"location") > 0 && $"redirects" < conf.maxRedirect,
-      array(struct($"location".as("raw_link"),
-        lit("redirect").as("link_kind"))).cast(childT))
+      array(struct($"location".as("link"),
+        lit("redirect").as("kind"))).cast(childT))
       .otherwise(emptyChildren)
     // E18 facebook: post page → plugins/post.php embed child, hops
     // preserved (asset semantics; facebook.go:17-22). Runs on any
@@ -434,18 +440,21 @@ object Wave {
       else when(
         $"disposition" =!= "REDIRECT" && $"status_code".isNotNull &&
           Udfs.fbIsPost($"url_canon"),
-        array(struct(Udfs.fbEmbed($"url_canon").as("raw_link"),
-          lit("asset").as("link_kind"))).cast(childT))
+        array(struct(Udfs.fbEmbed($"url_canon").as("link"),
+          lit("asset").as("kind"))).cast(childT))
         .otherwise(emptyChildren)
     // sentinel first: pos 0 becomes the claimed row, pos ≥ 1 the candidates
-    val sentinel = array(struct(lit(null).cast("string").as("raw_link"),
-      lit(null).cast("string").as("link_kind"))).cast(childT)
+    val sentinel = array(struct(lit(null).cast("string").as("link"),
+      lit(null).cast("string").as("kind"))).cast(childT)
     val children = concat(sentinel,
       coalesce(linkPairs.cast(childT), emptyChildren), redirectChild, facebookChild)
 
     val exploded = extracted
-      .withColumn("n_outlinks", size(filter_links($"links", "outlink")))
-      .withColumn("n_assets", size(filter_links($"links", "asset")))
+      // native single-pass counts: size(filter(links, kind===…)) was two
+      // more interpreted per-link walks per fetched row (filter is a
+      // CodegenFallback higher-order function)
+      .withColumn("n_outlinks", graft.spark.LinkKindCount.col($"links", "outlink"))
+      .withColumn("n_assets", graft.spark.LinkKindCount.col($"links", "asset"))
       .select(claimedCols.map(col) :+
         posexplode(children).as(Seq("pos", "child")): _*)
     val isClaim = $"pos" === 0
@@ -455,9 +464,9 @@ object Wave {
     //      claimed rows; CollapseProject never duplicates a non-cheap
     //      ScalaUDF, so canon runs exactly once per row) ----
     val withCanon = exploded
-      .withColumn("c", when(!isClaim, canonUdf($"child.raw_link", $"url_canon")))
-      .withColumn("raw_link", $"child.raw_link")
-      .withColumn("link_kind", $"child.link_kind")
+      .withColumn("c", when(!isClaim, canonUdf($"child.link", $"url_canon")))
+      .withColumn("raw_link", $"child.link")
+      .withColumn("link_kind", $"child.kind")
       .withColumn("href", $"c.href")
       .withColumn("chost", $"c.host")
       .withColumn("canon_reject", $"c.reject")
@@ -652,9 +661,6 @@ object Wave {
     */
   def seenKinds(seen: DataFrame): DataFrame =
     seen.groupBy(col("url_hash")).agg(max(col("kind")).as("seen_kind"))
-
-  private def filter_links(links: Column, kind: String): Column =
-    filter(links, l => l.getField("kind") === kind)
 
   /** Host-state evolution after a wave (R2 penalties / R3 recovery,
     * wave-discretized; adjust.go:9-60).
