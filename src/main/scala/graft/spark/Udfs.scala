@@ -48,18 +48,37 @@ object Udfs {
   val fbIsPost = udf((u: String) => graft.extract.SiteSpecific.Facebook.isPostUrl(u))
   val fbEmbed = udf((u: String) => graft.extract.SiteSpecific.Facebook.embedUrl(u))
 
-  /** Include/exclude filter (F4/F5): true = keep. */
-  def filterTest(conf: ZenoConf) = {
-    val filters = new Filters(conf)
-    udf((href: String, host: String) =>
-      href != null && filters.test(href, if (host == null) "" else host))
-  }
+  /** Include/exclude filter (F4/F5): true = keep. Native codegen
+    * expression (graft.spark.FilterTest) — the former scalar UDF paid a
+    * UTF8String→String conversion per argument per candidate row for
+    * what is a byte-level contains scan (regex exclusions, when
+    * configured, still run on the decoded string — identical results;
+    * parity pinned in WaveExprsSpec against Filters.test).
+    */
+  def filterTest(conf: ZenoConf): (Column, Column) => Column =
+    (href, host) => org.apache.spark.sql.zenospark.Bridge.column(
+      FilterTest(
+        org.apache.spark.sql.zenospark.Bridge.expression(href),
+        org.apache.spark.sql.zenospark.Bridge.expression(host),
+        conf.includeHosts, conf.includeStrings,
+        conf.excludeHosts ++ conf.defaultExcludedHosts, conf.excludeStrings,
+        conf.exclusionRegexes))
 
-  /** Domains-crawl match (J6): hop reset on match. */
-  def domainsMatch(conf: ZenoConf) = {
-    val m = new DomainsMatcher(conf.domainsCrawl)
-    udf((href: String, host: String) =>
-      href != null && host != null && m.matches(href, host))
+  /** Domains-crawl match (J6): hop reset on match. With no configured
+    * patterns the matcher is constant-false (DomainsMatcher.matches
+    * returns false for every input), so the common no-domains-crawl case
+    * short-circuits to a foldable literal and the per-candidate UDF
+    * disappears from the plan entirely.
+    */
+  def domainsMatch(conf: ZenoConf): (Column, Column) => Column = {
+    if (conf.domainsCrawl.isEmpty)
+      (_, _) => org.apache.spark.sql.functions.lit(false)
+    else {
+      val m = new DomainsMatcher(conf.domainsCrawl)
+      val u = udf((href: String, host: String) =>
+        href != null && host != null && m.matches(href, host))
+      (href, host) => u(href, host)
+    }
   }
 
   /** Extractor dispatch (E1-E17). kind ∈ outlink | asset | atimport.
@@ -89,49 +108,23 @@ object Udfs {
 
   /** Robots check: longest-prefix rule match, allow-all default (the
     * reference crawls without robots — J7 in SURVEY.md §2.3).
-    * Rules are broadcast as a plain Map (small by construction).
+    * Native codegen expression (graft.spark.RobotsAllow): single-pass
+    * longest-prefix scan over byte prefixes, allow beats disallow on
+    * equal length — the former scalar UDF converted host+path to
+    * Strings per candidate row. Rules ride the codegen references array
+    * (small by construction).
     */
-  def robotsAllow(rules: Map[String, Seq[(String, Boolean)]]) =
-    udf((host: String, path: String) => {
-      if (host == null) true
-      else rules.get(host) match {
-        case None => true
-        case Some(hostRules) =>
-          val p = if (path == null) "/" else path
-          // longest prefix wins; on equal length allow beats disallow
-          // (standard robots longest-match tie-break). Single pass — the
-          // former filter + maxBy built two collections per candidate row.
-          var bestLen = -1
-          var bestAllow = true
-          val it = hostRules.iterator
-          while (it.hasNext) {
-            val (prefix, allow) = it.next()
-            if (p.startsWith(prefix) &&
-                (prefix.length > bestLen ||
-                  (prefix.length == bestLen && allow && !bestAllow))) {
-              bestLen = prefix.length
-              bestAllow = allow
-            }
-          }
-          bestLen < 0 || bestAllow
-      }
-    })
+  def robotsAllow(rules: Map[String, Seq[(String, Boolean)]]): (Column, Column) => Column =
+    (host, path) => org.apache.spark.sql.zenospark.Bridge.column(
+      RobotsAllow(
+        org.apache.spark.sql.zenospark.Bridge.expression(host),
+        org.apache.spark.sql.zenospark.Bridge.expression(path), rules))
 
-  val pathOf = udf((href: String) => {
-    if (href == null) ""
-    else {
-      val i = href.indexOf("://")
-      if (i < 0) ""
-      else {
-        val rest = href.substring(i + 3)
-        val slash = rest.indexOf('/')
-        if (slash < 0) ""
-        else {
-          val p = rest.substring(slash)
-          val q = p.indexOf('?')
-          if (q >= 0) p.substring(0, q) else p
-        }
-      }
-    }
-  })
+  /** Path of a canonical URL (F6 false-positive-asset check + the robots
+    * argument). Native codegen byte scan (graft.spark.PathOf) — was a
+    * scalar UDF doing indexOf/substring on a decoded String per
+    * candidate row. null href → "" (the UDF's contract), identical
+    * slicing (ASCII delimiters never split UTF-8 sequences).
+    */
+  def pathOf(href: Column): Column = PathOf.col(href)
 }

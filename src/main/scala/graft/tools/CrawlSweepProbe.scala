@@ -29,7 +29,11 @@ object CrawlSweepProbe {
           qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit = {
         val ph = qe.tracker.phases.map { case (k, v) =>
           f"$k=${(v.endTimeMs - v.startTimeMs) / 1e3}%.2f" }.mkString(" ")
-        println(f"  QE $funcName total=${durationNs / 1e9}%.2f $ph")
+        val p = qe.executedPlan.toString.toLowerCase
+        def n(s: String) = p.sliding(s.length).count(_ == s)
+        println(f"  QE $funcName total=${durationNs / 1e9}%.2f $ph " +
+          f"pathof=${n("pathof")} filtertest=${n("filtertest")} " +
+          f"robotsallow=${n("robotsallow")} canonudf=${n("udf(")}")
       }
       override def onFailure(funcName: String,
           qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()

@@ -471,11 +471,12 @@ object Wave {
       .withColumn("chost", $"c.host")
       .withColumn("canon_reject", $"c.reject")
       .withColumn("parent_css_jump", when(!isClaim, $"css_jump"))
-      // ONE pathOf per candidate row: the F6 check and the robots check
-      // both need the path, and as separate when-branch arguments the
-      // ScalaUDF ran twice on every asset row (CollapseProject never
-      // inlines a non-cheap ScalaUDF alias, so the column is evaluated
-      // exactly once)
+      // the F6 check and the robots check both need the path. pathOf is
+      // now a native byte-scan expression (graft.spark.PathOf) instead of
+      // a ScalaUDF: CollapseProject inlines the cheap alias into its two
+      // use sites (two ~100-byte scans per candidate row), which is still
+      // far cheaper than the single former UDF invocation with its
+      // per-argument UTF8String→String→UTF8String boundary copies
       .withColumn("cpath", when(!isClaim, Udfs.pathOf($"href")))
     val fpAsset = $"link_kind".isin("asset", "atimport") &&
       $"cpath".isin("", "/") // F6 false-positive asset
